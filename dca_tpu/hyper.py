@@ -1,0 +1,337 @@
+"""Hyperparameter optimization: self-contained TPE search.
+
+Re-implements the reference's kopt/hyperopt pipeline (hyper.py:14-113) — the
+same search space (hyper.py:19-42), objective (min validation loss with a 20%
+split, hyper.py:82-91) and artifacts (``hyperopt_results/trials.pickle`` +
+``best.json``, hyper.py:103-108) — with an in-package Tree-structured Parzen
+Estimator, since hyperopt is not available in this environment.
+
+Improvements over the reference (marked TODO there, hyper.py:106,112):
+``best.json`` stores the actual parameter VALUES (not choice indices), and
+``retrain_best`` can refit the winning configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# search space primitives (hyperopt hp.* analogues)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Choice:
+    options: tuple
+
+    def sample(self, rs):
+        return self.options[rs.randint(len(self.options))]
+
+
+@dataclass(frozen=True)
+class Uniform:
+    low: float
+    high: float
+
+    def sample(self, rs):
+        return float(rs.uniform(self.low, self.high))
+
+
+@dataclass(frozen=True)
+class LogUniform:
+    low: float
+    high: float
+
+    def sample(self, rs):
+        return float(np.exp(rs.uniform(np.log(self.low), np.log(self.high))))
+
+
+def reference_space(hyperepoch: int = 100) -> Dict[str, Any]:
+    """The exact search space of reference hyper.py:19-42."""
+    return {
+        "norm_input_log": Choice((True, False)),
+        "norm_input_zeromean": Choice((True, False)),
+        "norm_input_sf": Choice((True, False)),
+        "lr": LogUniform(1e-3, 1e-2),
+        "ridge": LogUniform(1e-7, 1e-1),
+        "l1_enc_coef": LogUniform(1e-7, 1e-1),
+        "hidden_size": Choice(
+            (
+                (64, 32, 64),
+                (32, 16, 32),
+                (64, 64),
+                (32, 32),
+                (16, 16),
+                (16,),
+                (32,),
+                (64,),
+                (128,),
+            )
+        ),
+        "activation": Choice(("relu", "selu", "elu", "PReLU", "linear", "LeakyReLU")),
+        "aetype": Choice(("zinb", "zinb-conddisp")),
+        "batchnorm": Choice((True, False)),
+        "dropout": Uniform(0.0, 0.7),
+        "input_dropout": Uniform(0.0, 0.8),
+        "epochs": Choice((hyperepoch,)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# TPE engine
+# ---------------------------------------------------------------------------
+
+
+class TPE:
+    """Tree-structured Parzen Estimator over an independent product space.
+
+    Classic Bergstra et al. (2011) recipe: after ``n_startup`` random trials,
+    split observations at the gamma-quantile into good/bad sets, model each
+    numeric dimension with Gaussian Parzen windows l(x) (good) and g(x)
+    (bad), draw candidates from l and keep the argmax of l/g; categorical
+    dimensions use Laplace-smoothed empirical frequencies.
+    """
+
+    def __init__(self, space, seed=0, n_startup=20, gamma=0.25, n_candidates=24):
+        self.space = space
+        self.rs = np.random.RandomState(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.trials: List[Dict[str, Any]] = []
+
+    # -- observation bookkeeping ------------------------------------------
+    def observe(self, config, loss):
+        self.trials.append({"config": config, "loss": float(loss)})
+
+    def _split(self):
+        ok = [t for t in self.trials if math.isfinite(t["loss"])]
+        ok.sort(key=lambda t: t["loss"])
+        n_good = max(1, int(np.ceil(self.gamma * len(ok))))
+        return ok[:n_good], ok[n_good:]
+
+    # -- proposal ----------------------------------------------------------
+    def suggest(self):
+        if len([t for t in self.trials if math.isfinite(t["loss"])]) < self.n_startup:
+            return {k: d.sample(self.rs) for k, d in self.space.items()}
+        good, bad = self._split()
+        config = {}
+        for key, dist in self.space.items():
+            g_vals = [t["config"][key] for t in good]
+            b_vals = [t["config"][key] for t in bad]
+            if isinstance(dist, Choice):
+                config[key] = self._suggest_choice(dist, g_vals, b_vals)
+            else:
+                config[key] = self._suggest_numeric(dist, g_vals, b_vals)
+        return config
+
+    def _suggest_choice(self, dist, g_vals, b_vals):
+        opts = list(dist.options)
+        gc = np.array([g_vals.count(o) for o in opts], float) + 1.0
+        bc = np.array([b_vals.count(o) for o in opts], float) + 1.0
+        score = (gc / gc.sum()) / (bc / bc.sum())
+        probs = score / score.sum()
+        return opts[self.rs.choice(len(opts), p=probs)]
+
+    def _suggest_numeric(self, dist, g_vals, b_vals):
+        log = isinstance(dist, LogUniform)
+        lo, hi = dist.low, dist.high
+        tf = np.log if log else (lambda x: x)
+        inv = np.exp if log else (lambda x: x)
+        lo_t, hi_t = tf(lo), tf(hi)
+        span = hi_t - lo_t
+
+        g = np.asarray([tf(v) for v in g_vals], float)
+        b = np.asarray([tf(v) for v in b_vals], float)
+        if len(b) == 0:
+            b = np.asarray([lo_t, hi_t])
+
+        def parzen_logpdf(x, centers):
+            bw = max(span / max(len(centers), 1) * 1.5, 1e-6 * span)
+            d = (x[:, None] - centers[None, :]) / bw
+            return (
+                -0.5 * d**2 - 0.5 * np.log(2 * np.pi) - np.log(bw)
+            ).max(axis=1)  # max-kernel approximation, robust and cheap
+
+        # candidates drawn from the good model
+        idx = self.rs.randint(len(g), size=self.n_candidates)
+        bw = max(span / max(len(g), 1) * 1.5, 1e-6 * span)
+        cand = g[idx] + self.rs.normal(scale=bw, size=self.n_candidates)
+        cand = np.clip(cand, lo_t, hi_t)
+        score = parzen_logpdf(cand, g) - parzen_logpdf(cand, b)
+        x = cand[int(np.argmax(score))]
+        val = float(inv(x))
+        return min(max(val, lo), hi)
+
+
+# ---------------------------------------------------------------------------
+# objective + driver
+# ---------------------------------------------------------------------------
+
+
+def _objective(adata_orig, config, debug=False, verbose=False, batch_size=32, seed=0):
+    """One trial: re-normalize a copy per the data flags (hyper.py:44-55),
+    build + train with a 20% validation split (hyper.py:57-91), return min
+    val loss."""
+    from .data.io import normalize
+    from .models import AE_types
+    from .train.loop import train
+
+    ad = adata_orig.copy()
+    ad = normalize(
+        ad,
+        filter_min_counts=False,
+        size_factors=config["norm_input_sf"],
+        logtrans_input=config["norm_input_log"],
+        normalize_input=config["norm_input_zeromean"],
+    )
+
+    net = AE_types[config["aetype"]](
+        input_size=ad.n_vars,
+        hidden_size=config["hidden_size"],
+        l2_coef=0.0,
+        l1_coef=0.0,
+        l2_enc_coef=0.0,
+        l1_enc_coef=config["l1_enc_coef"],
+        ridge=config["ridge"],
+        hidden_dropout=config["dropout"],
+        input_dropout=config["input_dropout"],
+        batchnorm=config["batchnorm"],
+        activation=config["activation"],
+        init="glorot_uniform",
+        debug=debug,
+        seed=seed,
+    )
+    net.build()
+
+    hist = train(
+        ad,
+        net,
+        optimizer="RMSprop",
+        learning_rate=config["lr"],
+        epochs=config["epochs"],
+        clip_grad=5.0,
+        validation_split=0.2,
+        reduce_lr=0,
+        early_stop=0,
+        verbose=verbose,
+        seed=seed,
+    )
+    vals = hist.history.get("val_loss", hist.history["loss"])
+    finite = [v for v in vals if math.isfinite(v)]
+    return min(finite) if finite else float("inf")
+
+
+def hyper_search(
+    adata,
+    n_trials: int,
+    hyperepoch: int = 100,
+    output_dir: str = ".",
+    seed: int = 0,
+    space: Optional[dict] = None,
+    objective=None,
+    verbose=True,
+):
+    """Run the TPE search; writes trials.pickle + best.json like the
+    reference (hyper.py:103-108). Returns (best_config, best_loss, trials)."""
+    space = space or reference_space(hyperepoch)
+    tpe = TPE(space, seed=seed)
+    results_dir = os.path.join(output_dir, "hyperopt_results")
+    os.makedirs(results_dir, exist_ok=True)
+    objective = objective or (lambda cfg: _objective(adata, cfg, seed=seed))
+
+    best_cfg, best_loss = None, float("inf")
+    for i in range(n_trials):
+        cfg = tpe.suggest()
+        try:
+            loss = float(objective(cfg))
+        except Exception as e:  # catch_eval_exceptions=True (hyper.py:101)
+            if verbose:
+                print(f"dca_tpu hyper: trial {i} failed: {e}")
+            loss = float("inf")
+        tpe.observe(cfg, loss)
+        if loss < best_loss:
+            best_cfg, best_loss = cfg, loss
+        if verbose:
+            print(f"dca_tpu hyper: trial {i + 1}/{n_trials} loss={loss:.4f} "
+                  f"best={best_loss:.4f}")
+
+    with open(os.path.join(results_dir, "trials.pickle"), "wb") as f:
+        pickle.dump(tpe.trials, f)
+    with open(os.path.join(results_dir, "best.json"), "wt") as f:
+        json.dump(
+            {"loss": best_loss, "config": _jsonable(best_cfg)},
+            f,
+            sort_keys=True,
+            indent=4,
+        )
+    return best_cfg, best_loss, tpe.trials
+
+
+def _jsonable(cfg):
+    if cfg is None:
+        return None
+    out = {}
+    for k, v in cfg.items():
+        if isinstance(v, tuple):
+            out[k] = list(v)
+        elif isinstance(v, (np.bool_, np.integer, np.floating)):
+            out[k] = v.item()
+        else:
+            out[k] = v
+    return out
+
+
+def retrain_best(adata, best_cfg, seed=0):
+    """Refit the winning configuration (reference left this as TODO,
+    hyper.py:112). Returns the trained network."""
+    from .data.io import normalize
+    from .models import AE_types
+    from .train.loop import train
+
+    ad = adata.copy()
+    ad = normalize(
+        ad,
+        filter_min_counts=False,
+        size_factors=best_cfg["norm_input_sf"],
+        logtrans_input=best_cfg["norm_input_log"],
+        normalize_input=best_cfg["norm_input_zeromean"],
+    )
+    net = AE_types[best_cfg["aetype"]](
+        input_size=ad.n_vars,
+        hidden_size=best_cfg["hidden_size"],
+        l1_enc_coef=best_cfg["l1_enc_coef"],
+        ridge=best_cfg["ridge"],
+        hidden_dropout=best_cfg["dropout"],
+        input_dropout=best_cfg["input_dropout"],
+        batchnorm=best_cfg["batchnorm"],
+        activation=best_cfg["activation"],
+        seed=seed,
+    )
+    net.build()
+    train(ad, net, learning_rate=best_cfg["lr"], epochs=best_cfg["epochs"], seed=seed,
+          verbose=False)
+    return net
+
+
+def hyper(args):
+    """CLI driver (reference hyper.py:14-113): read the dataset and search."""
+    from .data.io import read_dataset
+
+    adata = read_dataset(args.input, transpose=args.transpose, test_split=False)
+    best_cfg, best_loss, _ = hyper_search(
+        adata,
+        n_trials=args.hypern,
+        hyperepoch=args.hyperepoch,
+        output_dir=args.outputdir,
+    )
+    print({"loss": best_loss, "config": _jsonable(best_cfg)})
+    return best_cfg

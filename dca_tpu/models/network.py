@@ -1,0 +1,538 @@
+"""Model zoo: the 11 reference autoencoder variants with the reference's OO
+surface (build/predict/write/save/load_weights/get_encoder) on top of the
+functional JAX core in ``core.py``.
+
+Mirrors ``/root/reference/dca/network.py:43-768`` behaviorally, including the
+reference's predict-order quirks:
+
+  * ZINB-family archs compute dispersion/dropout info from the *input* X
+    before denoising overwrites it (network.py:395-405, 524-534);
+  * NB-family conddisp archs compute dispersion *after* denoising, i.e. from
+    the denoised matrix (network.py:318-328) — reproduced as observable
+    behavior.
+
+The TSV output contract follows the code (mean.tsv / latent.tsv /
+dispersion.tsv / dropout.tsv, network.py:213-231, 407-421, 536-550) and also
+emits the README/paper-era aliases ``mean_norm.tsv``, ``pi.tsv`` and
+``reduced.tsv`` (README.md:37-41) so either naming convention works.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .. import losses
+from ..data.io import write_text_matrix
+from . import core
+
+
+def _densify(X):
+    if sp.issparse(X):
+        return np.asarray(X.todense(), dtype=np.float32)
+    return np.asarray(X, dtype=np.float32)
+
+
+class Autoencoder:
+    """MSE autoencoder ('normal'); base class for the zoo (network.py:43-231)."""
+
+    ae_type = "normal"
+
+    def __init__(
+        self,
+        input_size,
+        output_size=None,
+        hidden_size=(64, 32, 64),
+        l2_coef=0.0,
+        l1_coef=0.0,
+        l2_enc_coef=0.0,
+        l1_enc_coef=0.0,
+        ridge=0.0,
+        hidden_dropout=0.0,
+        input_dropout=0.0,
+        batchnorm=True,
+        activation="relu",
+        init="glorot_uniform",
+        file_path=None,
+        debug=False,
+        seed=42,
+        **kwargs,
+    ):
+        self.input_size = input_size
+        self.output_size = input_size if output_size is None else output_size
+        self.hidden_size = tuple(hidden_size)
+        self.l2_coef = l2_coef
+        self.l1_coef = l1_coef
+        self.l2_enc_coef = l2_enc_coef
+        self.l1_enc_coef = l1_enc_coef
+        self.ridge = ridge
+        self.hidden_dropout = hidden_dropout
+        self.input_dropout = input_dropout
+        self.batchnorm = batchnorm
+        self.activation = activation
+        self.init = init
+        self.file_path = file_path
+        self.debug = debug
+        self.seed = seed
+        self.extra_kwargs = kwargs
+
+        self.definition: core.NetworkDef | None = None
+        self.params = None
+        self.state = None
+        self._predict_jit = None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    def _definition_kwargs(self):
+        return dict(
+            ae_type=self.ae_type,
+            input_size=self.input_size,
+            output_size=self.output_size,
+            hidden_size=self.hidden_size,
+            l2_coef=self.l2_coef,
+            l1_coef=self.l1_coef,
+            l2_enc_coef=self.l2_enc_coef,
+            l1_enc_coef=self.l1_enc_coef,
+            ridge=self.ridge,
+            hidden_dropout=self.hidden_dropout,
+            input_dropout=self.input_dropout,
+            batchnorm=self.batchnorm,
+            activation=self.activation,
+            init=self.init,
+            debug=self.debug,
+        )
+
+    def build(self, rng=None):
+        self.definition = core.build_definition(**self._definition_kwargs())
+        if rng is None:
+            rng = jax.random.PRNGKey(self.seed)
+        self.params, self.state = core.init_params(self.definition, rng)
+        self._predict_jit = None
+        return self
+
+    # ------------------------------------------------------------------
+    # functional pieces used by the trainer
+    # ------------------------------------------------------------------
+    def apply(self, params, state, count, size_factors, training=False, rng=None):
+        return core.apply(
+            self.definition, params, state, count, size_factors, training=training, rng=rng
+        )
+
+    def likelihood_loss(self, outputs, target, sample_weights=None):
+        """Negative log-likelihood given forward outputs (no weight penalty)."""
+        lk = self.definition.likelihood
+        if lk == "mse":
+            return losses.mse_loss(target, outputs["output"], sample_weights=sample_weights)
+        if lk == "poisson":
+            return losses.poisson_loss(target, outputs["output"], sample_weights=sample_weights)
+        if lk == "nb":
+            return losses.nb_nll(
+                target, outputs["output"], outputs["disp"], sample_weights=sample_weights
+            )
+        if lk == "zinb":
+            return losses.zinb_nll(
+                target,
+                outputs["output"],
+                outputs["disp"],
+                outputs["pi"],
+                ridge_lambda=self.ridge,
+                sample_weights=sample_weights,
+            )
+        raise AssertionError(lk)
+
+    def loss_fn(self, params, state, count, size_factors, target, training, rng,
+                sample_weights=None):
+        """Total loss = NLL + l1/l2 weight penalties (Keras adds these to the
+        compiled loss). Returns (loss, new_state)."""
+        outputs, new_state = self.apply(
+            params, state, count, size_factors, training=training, rng=rng
+        )
+        loss = self.likelihood_loss(outputs, target, sample_weights=sample_weights)
+        loss = loss + core.regularization_loss(self.definition, params)
+        return loss, new_state
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def forward(self, count, size_factors=None):
+        """Eval-mode forward over a full matrix; returns numpy outputs dict."""
+        assert self.params is not None, "call build() first"
+        count = _densify(count)
+        if size_factors is None:
+            size_factors = np.ones((count.shape[0],), np.float32)
+        size_factors = np.asarray(size_factors, np.float32)
+        if self._predict_jit is None:
+            definition = self.definition
+
+            @jax.jit
+            def _fwd(params, state, x, sf):
+                out, _ = core.apply(definition, params, state, x, sf, training=False)
+                return out
+
+            self._predict_jit = _fwd
+        out = self._predict_jit(self.params, self.state, count, size_factors)
+        return {k: (np.asarray(v) if v is not None else None) for k, v in out.items()}
+
+    def get_encoder(self):
+        """Callable (count, size_factors) -> latent, mirroring network.py:179-186."""
+
+        def encode(count, size_factors=None):
+            return self.forward(count, size_factors)["latent"]
+
+        return encode
+
+    def _sf_of(self, adata):
+        if "size_factors" in adata.obs:
+            return np.asarray(adata.obs["size_factors"], np.float32)
+        return np.ones((adata.n_obs,), np.float32)
+
+    def _set_denoised(self, adata, denoised):
+        if denoised.shape[1] == adata.n_vars:
+            adata.X = denoised
+        else:
+            # denoise-subset path: keep the narrow matrix out-of-band
+            adata.obsm["X_dca_mean"] = denoised
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False):
+        """network.py:188-211."""
+        assert mode in ("denoise", "latent", "full"), "Unknown mode"
+        adata = adata.copy() if copy else adata
+
+        out = self.forward(adata.X, self._sf_of(adata))
+
+        if mode in ("latent", "full"):
+            print("dca_tpu: Calculating low dimensional representations...")
+            adata.obsm["X_dca"] = out["latent"]
+        if mode in ("denoise", "full"):
+            print("dca_tpu: Calculating reconstructions...")
+            self._set_denoised(adata, out["output"])
+        if mode == "latent":
+            adata.X = adata.raw.X.copy()  # network.py:208-209
+
+        return adata if copy else None
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def save(self):
+        """Pickle the network object to <file_path>/model.pickle
+        (network.py:158-162; called pre-build by the reference driver)."""
+        if self.file_path:
+            os.makedirs(self.file_path, exist_ok=True)
+            payload = dict(
+                ae_type=self.ae_type,
+                ctor=self._ctor_config(),
+                params=jax.tree_util.tree_map(np.asarray, self.params)
+                if self.params is not None
+                else None,
+                state=jax.tree_util.tree_map(np.asarray, self.state)
+                if self.state is not None
+                else None,
+            )
+            with open(os.path.join(self.file_path, "model.pickle"), "wb") as f:
+                pickle.dump(payload, f)
+
+    def _ctor_config(self):
+        return dict(
+            input_size=self.input_size,
+            output_size=self.output_size,
+            hidden_size=self.hidden_size,
+            l2_coef=self.l2_coef,
+            l1_coef=self.l1_coef,
+            l2_enc_coef=self.l2_enc_coef,
+            l1_enc_coef=self.l1_enc_coef,
+            ridge=self.ridge,
+            hidden_dropout=self.hidden_dropout,
+            input_dropout=self.input_dropout,
+            batchnorm=self.batchnorm,
+            activation=self.activation,
+            init=self.init,
+            file_path=self.file_path,
+            debug=self.debug,
+            seed=self.seed,
+            **self.extra_kwargs,
+        )
+
+    def save_weights(self, filename):
+        """Flat HDF5 weight dump (analogue of Keras weights.hdf5)."""
+        import h5py
+
+        flat, _ = jax.tree_util.tree_flatten_with_path(
+            {"params": self.params, "state": self.state}
+        )
+        with h5py.File(filename, "w") as f:
+            for path, leaf in flat:
+                key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                f.create_dataset(key, data=np.asarray(leaf))
+
+    def load_weights(self, filename):
+        """network.py:164-167 analogue; reads the flat HDF5 dump."""
+        import h5py
+
+        assert self.definition is not None, "call build() first"
+        tree = {"params": self.params, "state": self.state}
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        with h5py.File(filename, "r") as f:
+            leaves = []
+            for path, leaf in flat:
+                key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                leaves.append(jnp.asarray(np.asarray(f[key]), dtype=leaf.dtype))
+        tree = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.params, self.state = tree["params"], tree["state"]
+        self._predict_jit = None
+
+    # ------------------------------------------------------------------
+    # output files
+    # ------------------------------------------------------------------
+    def write(self, adata, file_path, mode="denoise", colnames=None):
+        """network.py:213-231 + alias names (README.md:37-41)."""
+        colnames = adata.var_names.values if colnames is None else colnames
+        rownames = adata.obs_names.values
+
+        print("dca_tpu: Saving output(s)...")
+        os.makedirs(file_path, exist_ok=True)
+
+        if mode in ("denoise", "full"):
+            print("dca_tpu: Saving denoised expression...")
+            denoised = (
+                adata.obsm["X_dca_mean"] if "X_dca_mean" in adata.obsm else adata.X
+            )
+            write_text_matrix(
+                denoised,
+                os.path.join(file_path, "mean.tsv"),
+                rownames=rownames,
+                colnames=colnames,
+                transpose=True,  # gene × cell on disk (network.py:223-225)
+            )
+            out = self.forward(_input_matrix_for_info(adata), self._sf_of(adata))
+            write_text_matrix(
+                out["mean_norm"],
+                os.path.join(file_path, "mean_norm.tsv"),
+                rownames=rownames,
+                colnames=colnames,
+                transpose=True,
+            )
+
+        if mode in ("latent", "full") and "X_dca" in adata.obsm:
+            print("dca_tpu: Saving latent representations...")
+            for fname in ("latent.tsv", "reduced.tsv"):
+                write_text_matrix(
+                    adata.obsm["X_dca"],
+                    os.path.join(file_path, fname),
+                    rownames=rownames,
+                    transpose=False,
+                )
+
+
+def _input_matrix_for_info(adata):
+    """The matrix extra heads see at write time: current adata.X when shapes
+    align (reference feeds adata.X, network.py:400-401)."""
+    return adata.X
+
+
+# ---------------------------------------------------------------------------
+# NB family
+# ---------------------------------------------------------------------------
+
+
+class PoissonAutoencoder(Autoencoder):
+    """network.py:233-246."""
+
+    ae_type = "poisson"
+
+
+class NBConstantDispAutoencoder(Autoencoder):
+    """network.py:249-290 — gene-wise free dispersion via ConstantDispersionLayer."""
+
+    ae_type = "nb"
+
+    def dispersion(self):
+        return np.asarray(core.theta_exp(self.params)).squeeze()
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False):
+        res = super().predict(adata, mode, return_info, copy)
+        adata = res if copy else adata
+        if return_info:
+            adata.var["X_dca_dispersion"] = self.dispersion()  # network.py:277-278
+        return adata if copy else None
+
+    def write(self, adata, file_path, mode="denoise", colnames=None):
+        colnames = adata.var_names.values if colnames is None else colnames
+        super().write(adata, file_path, mode, colnames=colnames)
+        if "X_dca_dispersion" in adata.var_keys():  # network.py:287-290
+            write_text_matrix(
+                np.asarray(adata.var["X_dca_dispersion"]).reshape(1, -1),
+                os.path.join(file_path, "dispersion.tsv"),
+                colnames=colnames,
+                transpose=True,
+            )
+
+
+class NBAutoencoder(Autoencoder):
+    """network.py:293-339 — conditional dispersion (the API/CLI default)."""
+
+    ae_type = "nb-conddisp"
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False):
+        res = super().predict(adata, mode, return_info, copy)
+        adata = res if copy else adata
+        if return_info:
+            # Reference order: info computed AFTER denoising, i.e. from the
+            # current (possibly denoised) adata.X (network.py:322-326)
+            out = self.forward(adata.X, self._sf_of(adata))
+            adata.obsm["X_dca_dispersion"] = out["disp"]
+        return adata if copy else None
+
+    def write(self, adata, file_path, mode="denoise", colnames=None):
+        colnames = adata.var_names.values if colnames is None else colnames
+        super().write(adata, file_path, mode, colnames=colnames)
+        if "X_dca_dispersion" in adata.obsm_keys():  # network.py:336-339
+            write_text_matrix(
+                adata.obsm["X_dca_dispersion"],
+                os.path.join(file_path, "dispersion.tsv"),
+                colnames=colnames,
+                transpose=True,
+            )
+
+
+class NBSharedAutoencoder(NBAutoencoder):
+    """network.py:341-363 — one dispersion per cell."""
+
+    ae_type = "nb-shared"
+
+
+class NBForkAutoencoder(NBAutoencoder):
+    """network.py:663-760 — decoder forks into mean/disp branches."""
+
+    ae_type = "nb-fork"
+
+
+# ---------------------------------------------------------------------------
+# ZINB family
+# ---------------------------------------------------------------------------
+
+
+class ZINBAutoencoder(Autoencoder):
+    """network.py:366-421 — the flagship arch (zinb-conddisp)."""
+
+    ae_type = "zinb-conddisp"
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False):
+        adata = adata.copy() if copy else adata
+        if return_info:
+            # info from the INPUT matrix, before denoising (network.py:399-401)
+            out = self.forward(adata.X, self._sf_of(adata))
+            adata.obsm["X_dca_dispersion"] = out["disp"]
+            adata.obsm["X_dca_dropout"] = out["pi"]
+        super().predict(adata, mode, return_info, copy=False)
+        return adata if copy else None
+
+    def write(self, adata, file_path, mode="denoise", colnames=None):
+        colnames = adata.var_names.values if colnames is None else colnames
+        super().write(adata, file_path, mode, colnames=colnames)
+        if "X_dca_dispersion" in adata.obsm_keys():
+            write_text_matrix(
+                adata.obsm["X_dca_dispersion"],
+                os.path.join(file_path, "dispersion.tsv"),
+                colnames=colnames,
+                transpose=True,
+            )
+        if "X_dca_dropout" in adata.obsm_keys():  # network.py:418-421
+            for fname in ("dropout.tsv", "pi.tsv"):
+                write_text_matrix(
+                    adata.obsm["X_dca_dropout"],
+                    os.path.join(file_path, fname),
+                    colnames=colnames,
+                    transpose=True,
+                )
+
+
+class ZINBAutoencoderElemPi(ZINBAutoencoder):
+    """network.py:424-461 — pi as elementwise function of the negated mean
+    pre-activation; optional scalar shared pi."""
+
+    ae_type = "zinb-elempi"
+
+    def __init__(self, sharedpi=False, **kwds):
+        super().__init__(**kwds)
+        self.sharedpi = sharedpi
+
+    def _definition_kwargs(self):
+        kw = super()._definition_kwargs()
+        kw["sharedpi"] = self.sharedpi
+        return kw
+
+    def _ctor_config(self):
+        cfg = super()._ctor_config()
+        cfg["sharedpi"] = self.sharedpi
+        return cfg
+
+
+class ZINBSharedAutoencoder(ZINBAutoencoder):
+    """network.py:465-493 — scalar-per-cell dispersion and pi."""
+
+    ae_type = "zinb-shared"
+
+
+class ZINBForkAutoencoder(ZINBAutoencoder):
+    """network.py:553-660 — 3-way forked decoder."""
+
+    ae_type = "zinb-fork"
+
+
+class ZINBConstantDispAutoencoder(Autoencoder):
+    """network.py:496-550 — gene-wise constant dispersion + pi head."""
+
+    ae_type = "zinb"
+
+    def dispersion(self):
+        return np.asarray(core.theta_exp(self.params)).squeeze()
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False):
+        adata = adata.copy() if copy else adata
+        if return_info:
+            adata.var["X_dca_dispersion"] = self.dispersion()  # network.py:529-531
+            out = self.forward(adata.X, self._sf_of(adata))
+            adata.obsm["X_dca_dropout"] = out["pi"]
+        super().predict(adata, mode, return_info, copy=False)
+        return adata if copy else None
+
+    def write(self, adata, file_path, mode="denoise", colnames=None):
+        colnames = adata.var_names.values if colnames is None else colnames
+        super().write(adata, file_path, mode)
+        if "X_dca_dispersion" in adata.var_keys():
+            write_text_matrix(
+                np.asarray(adata.var["X_dca_dispersion"]).reshape(1, -1),
+                os.path.join(file_path, "dispersion.tsv"),
+                colnames=colnames,
+                transpose=True,
+            )
+        if "X_dca_dropout" in adata.obsm_keys():
+            for fname in ("dropout.tsv", "pi.tsv"):
+                write_text_matrix(
+                    adata.obsm["X_dca_dropout"],
+                    os.path.join(file_path, fname),
+                    colnames=colnames,
+                    transpose=True,
+                )
+
+
+AE_types = {
+    "normal": Autoencoder,
+    "poisson": PoissonAutoencoder,
+    "nb": NBConstantDispAutoencoder,
+    "nb-conddisp": NBAutoencoder,
+    "nb-shared": NBSharedAutoencoder,
+    "nb-fork": NBForkAutoencoder,
+    "zinb": ZINBConstantDispAutoencoder,
+    "zinb-conddisp": ZINBAutoencoder,
+    "zinb-shared": ZINBSharedAutoencoder,
+    "zinb-fork": ZINBForkAutoencoder,
+    "zinb-elempi": ZINBAutoencoderElemPi,
+}  # network.py:763-768

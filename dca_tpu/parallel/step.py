@@ -1,0 +1,108 @@
+"""Sharded training step: jit + GSPMD over a ('data','model') mesh.
+
+The full train step (forward, ZINB/NB NLL, backward, optimizer update) is one
+compiled program; XLA inserts the collectives implied by the shardings laid
+out in ``mesh.py`` (psum of gene-sharded partial products, psum of the scalar
+loss, all-reduce of data-parallel gradients).  Nothing here translates the
+reference — it had no distributed path at all (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_sharding, batch_vector_sharding, param_sharding, replicated
+
+
+def shard_train_data(mesh: Mesh, X, target, sf):
+    """Place host arrays on the mesh: cells over 'data', genes replicated.
+
+    For multi-host, replace jax.device_put with
+    jax.make_array_from_process_local_data over per-host shards.
+    """
+    bsh = batch_sharding(mesh)
+    vsh = batch_vector_sharding(mesh)
+    return (
+        jax.device_put(X, bsh),
+        jax.device_put(target, bsh),
+        jax.device_put(sf, vsh),
+    )
+
+
+def make_sharded_train_step(network, opt, mesh: Mesh, donate: bool = True):
+    """Compile one SGD step over the mesh.
+
+    Returns (step_fn, place_state) where
+      step_fn(params, state, opt_state, xb, tb, sfb, lr, rng)
+        -> (params, state, opt_state, loss)
+      place_state(params, state, opt_state) pins the pytrees to their mesh
+        shardings (gene-dim over 'model', rest replicated).
+    """
+    definition = network.definition
+    loss_fn = network.loss_fn
+
+    p_sh = lambda tree: param_sharding(tree, definition, mesh)
+    b_sh = batch_sharding(mesh)
+    v_sh = batch_vector_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    def place_state(params, state, opt_state):
+        params = jax.device_put(params, p_sh(params))
+        state = jax.device_put(state, jax.tree_util.tree_map(lambda _: r_sh, state))
+        opt_state = jax.device_put(opt_state, p_sh(opt_state))
+        return params, state, opt_state
+
+    def _step(params, state, opt_state, xb, tb, sfb, lr, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, xb, sfb, tb, True, rng
+        )
+        params, opt_state = opt.update(grads, opt_state, params, lr)
+        return params, new_state, opt_state, loss
+
+    step_fn = jax.jit(
+        _step,
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
+
+    def wrapped(params, state, opt_state, xb, tb, sfb, lr, rng):
+        with jax.sharding.use_mesh(mesh):
+            return step_fn(params, state, opt_state, xb, tb, sfb, lr, rng)
+
+    return wrapped, place_state
+
+
+def make_sharded_epoch(network, opt, mesh: Mesh):
+    """Compile a whole epoch (lax.scan over minibatch index rows) over the
+    mesh — the multi-chip analogue of loop.epoch_fn."""
+    loss_fn = network.loss_fn
+
+    @jax.jit
+    def epoch_fn(params, state, opt_state, Xd, Td, SFd, batches, lr, rng):
+        def body(carry, inp):
+            params, state, opt_state = carry
+            idx, step_i = inp
+            xb = jnp.take(Xd, idx, axis=0)
+            tb = jnp.take(Td, idx, axis=0)
+            sfb = jnp.take(SFd, idx, axis=0)
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, xb, sfb, tb, True, jax.random.fold_in(rng, step_i)
+            )
+            params, opt_state = opt.update(grads, opt_state, params, lr)
+            return (params, new_state, opt_state), loss
+
+        (params, state, opt_state), losses_seq = jax.lax.scan(
+            body,
+            (params, state, opt_state),
+            (batches, jnp.arange(batches.shape[0], dtype=jnp.int32)),
+        )
+        return params, state, opt_state, losses_seq
+
+    def wrapped(*args):
+        with jax.sharding.use_mesh(mesh):
+            return epoch_fn(*args)
+
+    return wrapped

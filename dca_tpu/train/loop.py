@@ -1,0 +1,351 @@
+"""Training loop: jitted scan-over-batches epochs + Keras-parity callbacks.
+
+Replaces the reference's Keras ``model.fit`` path (train.py:35-100) with a
+TPU-first design:
+
+  * the train split lives on device; one compiled ``epoch_fn`` runs ALL full
+    minibatch steps of an epoch as a single ``lax.scan`` (no per-step Python
+    dispatch, no host↔device traffic inside the epoch);
+  * the trailing partial batch gets its own (second) compiled step so every
+    shape stays static — no padding, hence bit-identical loss semantics to
+    per-batch Keras;
+  * learning rate is a runtime scalar argument, so ReduceLROnPlateau never
+    recompiles;
+  * callbacks (ReduceLROnPlateau patience=10 / EarlyStopping patience=15 /
+    best-weights checkpoint, train.py:62-79) are plain Python state between
+    epochs, with Keras defaults (factor=0.1, min_delta=1e-4 / 0.0).
+
+Validation follows Keras ``validation_split`` semantics: the LAST fraction of
+the data is held out before any shuffling; only the training portion is
+reshuffled each epoch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .optim import get_optimizer
+
+
+class History:
+    """Keras-style history object (.history dict of per-epoch lists)."""
+
+    def __init__(self):
+        self.history = {}
+
+    def append(self, key, value):
+        self.history.setdefault(key, []).append(float(value))
+
+
+def _densify(X):
+    if sp.issparse(X):
+        return np.asarray(X.todense(), dtype=np.float32)
+    return np.asarray(X, dtype=np.float32)
+
+
+def _size_factors(adata):
+    if "size_factors" in adata.obs:
+        return np.asarray(adata.obs["size_factors"], np.float32)
+    return np.ones((adata.n_obs,), np.float32)
+
+
+def train(
+    adata,
+    network,
+    output_dir=None,
+    optimizer="RMSprop",
+    learning_rate=None,
+    epochs=300,
+    reduce_lr=10,
+    output_subset=None,
+    use_raw_as_output=True,
+    early_stop=15,
+    batch_size=32,
+    clip_grad=5.0,
+    save_weights=False,
+    validation_split=0.1,
+    tensorboard=False,
+    verbose=True,
+    threads=None,
+    seed=42,
+    **kwds,
+):
+    """Reference-compatible ``train`` (train.py:35-100). Returns History."""
+    del threads  # XLA owns its own threading; accepted for API compatibility
+    assert network.params is not None, "network.build() must be called before train()"
+
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+
+    opt = get_optimizer(optimizer, clipvalue=clip_grad)
+    lr = float(learning_rate) if learning_rate is not None else opt.default_lr
+
+    # ----- assemble host arrays (train.py:83-89) -----
+    X = _densify(adata.X)
+    sf = _size_factors(adata)
+    if output_subset:
+        gene_idx = [np.where(adata.raw.var_names == x)[0][0] for x in output_subset]
+        target = adata.raw.X[:, gene_idx] if use_raw_as_output else X[:, gene_idx]
+    else:
+        target = adata.raw.X if use_raw_as_output else X
+    target = _densify(target)
+
+    n = X.shape[0]
+    split_at = int(n * (1.0 - validation_split))  # Keras tail split
+    X_tr, X_val = X[:split_at], X[split_at:]
+    T_tr, T_val = target[:split_at], target[split_at:]
+    sf_tr, sf_val = sf[:split_at], sf[split_at:]
+    n_train, n_val = X_tr.shape[0], X_val.shape[0]
+    has_val = n_val > 0
+
+    bs = min(batch_size, max(n_train, 1))
+    n_full = n_train // bs
+    rem = n_train - n_full * bs
+
+    dev_Xtr, dev_Ttr, dev_sftr = jnp.asarray(X_tr), jnp.asarray(T_tr), jnp.asarray(sf_tr)
+    if has_val:
+        dev_Xval, dev_Tval, dev_sfval = (
+            jnp.asarray(X_val),
+            jnp.asarray(T_val),
+            jnp.asarray(sf_val),
+        )
+
+    loss_fn = network.loss_fn
+
+    def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, xb, sfb, tb, True, rng
+        )
+        params, opt_state = opt.update(grads, opt_state, params, lr_arr)
+        return params, new_state, opt_state, loss
+
+    @jax.jit
+    def epoch_fn(params, state, opt_state, Xd, Td, SFd, batches, lr_arr, rng):
+        def body(carry, inp):
+            params, state, opt_state = carry
+            idx, step_i = inp
+            xb = jnp.take(Xd, idx, axis=0)
+            tb = jnp.take(Td, idx, axis=0)
+            sfb = jnp.take(SFd, idx, axis=0)
+            step_rng = jax.random.fold_in(rng, step_i)
+            params, state, opt_state, loss = _step(
+                params, state, opt_state, xb, tb, sfb, lr_arr, step_rng
+            )
+            return (params, state, opt_state), loss
+
+        (params, state, opt_state), losses_seq = jax.lax.scan(
+            body,
+            (params, state, opt_state),
+            (batches, jnp.arange(batches.shape[0], dtype=jnp.int32)),
+        )
+        return params, state, opt_state, losses_seq
+
+    @jax.jit
+    def rem_step_fn(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
+        return _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng)
+
+    @jax.jit
+    def eval_fn(params, state, xb, sfb, tb):
+        loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
+        return loss
+
+    params, state = network.params, network.state
+    opt_state = opt.init(params)
+
+    rng_np = np.random.RandomState(seed)
+    base_rng = jax.random.PRNGKey(seed)
+
+    hist = History()
+    best_monitor = math.inf
+    es_wait = 0
+    rlr_best = math.inf  # ReduceLROnPlateau tracks its own best (Keras)
+    rlr_wait = 0
+    rlr_factor, rlr_min_delta, rlr_min_lr = 0.1, 1e-4, 0.0
+    stop = False
+    best_saved_params = None
+
+    monitor_name = "val_loss" if has_val else "loss"
+
+    for epoch in range(epochs):
+        perm = rng_np.permutation(n_train).astype(np.int32)
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
+        lr_arr = jnp.float32(lr)
+
+        total_loss = 0.0
+        if n_full > 0:
+            batches = jnp.asarray(perm[: n_full * bs].reshape(n_full, bs))
+            params, state, opt_state, losses_seq = epoch_fn(
+                params, state, opt_state, dev_Xtr, dev_Ttr, dev_sftr, batches, lr_arr,
+                epoch_rng,
+            )
+            total_loss += float(jnp.sum(losses_seq)) * bs
+        if rem > 0:
+            idx = jnp.asarray(perm[n_full * bs :])
+            xb = jnp.take(dev_Xtr, idx, axis=0)
+            tb = jnp.take(dev_Ttr, idx, axis=0)
+            sfb = jnp.take(dev_sftr, idx, axis=0)
+            params, state, opt_state, loss = rem_step_fn(
+                params, state, opt_state, xb, tb, sfb, lr_arr,
+                jax.random.fold_in(epoch_rng, n_full),
+            )
+            total_loss += float(loss) * rem
+
+        train_loss = total_loss / max(n_train, 1)
+        hist.append("loss", train_loss)
+        hist.append("lr", lr)
+
+        if has_val:
+            val_loss = float(eval_fn(params, state, dev_Xval, dev_sfval, dev_Tval))
+            hist.append("val_loss", val_loss)
+            monitor = val_loss
+        else:
+            monitor = train_loss
+
+        if verbose:
+            msg = f"Epoch {epoch + 1}/{epochs} - loss: {train_loss:.4f}"
+            if has_val:
+                msg += f" - val_loss: {val_loss:.4f}"
+            msg += f" - lr: {lr:.2e}"
+            print(msg)
+
+        # ----- callbacks (train.py:62-79) -----
+        improved = monitor < best_monitor
+        if improved:
+            best_monitor = monitor
+            es_wait = 0
+            if save_weights and output_dir is not None:
+                network.params, network.state = params, state
+                network.save_weights(os.path.join(output_dir, "weights.hdf5"))
+                best_saved_params = True
+        else:
+            es_wait += 1
+            if early_stop and es_wait >= early_stop:
+                if verbose:
+                    print(f"Epoch {epoch + 1}: early stopping ({monitor_name})")
+                stop = True
+
+        if reduce_lr:
+            if monitor < rlr_best - rlr_min_delta:
+                rlr_best = monitor
+                rlr_wait = 0
+            else:
+                rlr_wait += 1
+                if rlr_wait >= reduce_lr:
+                    new_lr = max(lr * rlr_factor, rlr_min_lr)
+                    if verbose and new_lr < lr:
+                        print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {new_lr:.2e}")
+                    lr = new_lr
+                    rlr_wait = 0
+
+        if stop:
+            break
+
+    del best_saved_params
+    network.params, network.state = params, state
+    network._predict_jit = None
+    return hist
+
+
+def train_with_args(args):
+    """CLI driver (reference train.py:103-191): read → normalize → build →
+    train on the train split → predict full → write TSVs."""
+    import random as _random
+
+    from ..data import io as dio
+    from ..models import AE_types
+
+    _random.seed(42)
+    np.random.seed(42)
+    os.environ["PYTHONHASHSEED"] = "0"
+
+    if args.hyper:
+        from ..hyper import hyper
+
+        hyper(args)
+        return
+
+    adata = dio.read_dataset(
+        args.input,
+        transpose=(not args.transpose),  # assume gene x cell by default (train.py:125)
+        check_counts=args.checkcounts,
+        test_split=args.testsplit,
+    )
+
+    adata = dio.normalize(
+        adata,
+        size_factors=args.sizefactors,
+        logtrans_input=args.loginput,
+        normalize_input=args.norminput,
+    )
+
+    if args.denoisesubset:
+        genelist = list(set(dio.read_genelist(args.denoisesubset)))
+        assert len(set(genelist) - set(adata.var_names.values)) == 0, (
+            "Gene list is not overlapping with genes from the dataset"
+        )
+        output_size = len(genelist)
+    else:
+        genelist = None
+        output_size = adata.n_vars
+
+    hidden_size = [int(x) for x in args.hiddensize.split(",")]
+    hidden_dropout = [float(x) for x in args.dropoutrate.split(",")]
+    if len(hidden_dropout) == 1:
+        hidden_dropout = hidden_dropout[0]
+
+    assert args.type in AE_types, "loss type not supported"
+    input_size = adata.n_vars
+
+    net = AE_types[args.type](
+        input_size=input_size,
+        output_size=output_size,
+        hidden_size=hidden_size,
+        l2_coef=args.l2,
+        l1_coef=args.l1,
+        l2_enc_coef=args.l2enc,
+        l1_enc_coef=args.l1enc,
+        ridge=args.ridge,
+        hidden_dropout=hidden_dropout,
+        input_dropout=args.inputdropout,
+        batchnorm=args.batchnorm,
+        activation=args.activation,
+        init=args.init,
+        debug=args.debug,
+        file_path=args.outputdir,
+    )
+
+    net.save()
+    net.build()
+
+    train(
+        adata[adata.obs.dca_split == "train"],
+        net,
+        output_dir=args.outputdir,
+        learning_rate=args.learningrate,
+        epochs=args.epochs,
+        batch_size=args.batchsize,
+        early_stop=args.earlystop,
+        reduce_lr=args.reducelr,
+        output_subset=genelist,
+        optimizer=args.optimizer,
+        clip_grad=args.gradclip,
+        save_weights=args.saveweights,
+        tensorboard=args.tensorboard,
+    )
+
+    if genelist:
+        predict_columns = adata.var_names[
+            [np.where(adata.var_names == x)[0][0] for x in genelist]
+        ]
+    else:
+        predict_columns = adata.var_names
+
+    net.predict(adata, mode="full", return_info=True)
+    net.write(adata, args.outputdir, mode="full", colnames=predict_columns)

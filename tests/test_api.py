@@ -1,0 +1,98 @@
+"""API tests mirroring the reference integration test (dca/test.py:6-59) on a
+synthetic dataset instead of the paul15 download, plus the copy/return
+matrix of api.py:123-144."""
+
+import numpy as np
+import pytest
+
+from dca_tpu import dca
+
+from conftest import make_adata
+
+EPOCHS = 1
+HID = (10, 2, 10)
+
+
+@pytest.fixture()
+def adata():
+    return make_adata(120, 25, seed=10)
+
+
+def test_denoise_default(adata):
+    ret = dca(adata, mode="denoise", copy=True, epochs=EPOCHS, verbose=False)
+    assert not np.allclose(ret.X[:10], adata.X[:10])
+
+
+def test_denoise_return_model_and_info(adata):
+    ret, model = dca(
+        adata, mode="denoise", ae_type="nb-conddisp", copy=True, epochs=EPOCHS,
+        return_model=True, return_info=True,
+    )
+    assert not np.allclose(ret.X[:10], adata.X[:10])
+    assert "X_dca_dispersion" in ret.obsm_keys()
+    assert model is not None
+
+
+def test_denoise_nb_constant(adata):
+    ret = dca(adata, mode="denoise", ae_type="nb", copy=True, epochs=EPOCHS,
+              return_info=True)
+    assert not np.allclose(ret.X[:10], adata.X[:10])
+    assert "X_dca_dispersion" in ret.var_keys()
+
+
+def test_denoise_zinb(adata):
+    ret = dca(adata, mode="denoise", ae_type="zinb", copy=True, epochs=EPOCHS,
+              return_info=True)
+    assert not np.allclose(ret.X[:10], adata.X[:10])
+    assert "X_dca_dropout" in ret.obsm_keys()
+    assert "dca_loss_history" in ret.uns_keys()
+
+
+def test_denoise_zinb_elempi(adata):
+    ret = dca(adata, mode="denoise", ae_type="zinb-elempi", copy=True, epochs=EPOCHS,
+              return_info=True)
+    assert "X_dca_dropout" in ret.obsm_keys()
+
+    ret = dca(adata, mode="denoise", ae_type="zinb-elempi", copy=True, epochs=EPOCHS,
+              return_info=True, network_kwds={"sharedpi": True})
+    assert "X_dca_dropout" in ret.obsm_keys()
+
+
+@pytest.mark.parametrize("ae_type", ["normal", "nb-conddisp", "nb", "zinb"])
+def test_latent_mode(adata, ae_type):
+    ret = dca(adata, mode="latent", ae_type=ae_type, hidden_size=HID, copy=True,
+              epochs=EPOCHS)
+    assert "X_dca" in ret.obsm_keys()
+    assert ret.obsm["X_dca"].shape[1] == HID[1]
+    # latent mode restores raw counts into X (network.py:208-209)
+    np.testing.assert_array_equal(ret.X, ret.raw.X)
+
+
+def test_inplace_modification(adata):
+    orig = adata.X.copy()
+    ret = dca(adata, mode="denoise", epochs=EPOCHS)
+    assert ret is None  # copy=False returns None
+    assert not np.allclose(adata.X, orig)
+
+
+def test_rejects_allzero_genes(adata):
+    adata.X[:, 3] = 0.0
+    with pytest.raises(AssertionError, match="all-zero genes"):
+        dca(adata, copy=True, epochs=EPOCHS)
+
+
+def test_rejects_bad_mode(adata):
+    with pytest.raises(AssertionError):
+        dca(adata, mode="full", copy=True, epochs=EPOCHS)
+
+
+def test_loss_history_in_uns(adata):
+    ret = dca(adata, copy=True, epochs=2, return_info=True)
+    h = ret.uns["dca_loss_history"]
+    assert "loss" in h and len(h["loss"]) <= 2
+
+
+def test_fork_types_end_to_end(adata):
+    for ae_type in ("nb-fork", "zinb-fork", "nb-shared", "zinb-shared", "poisson"):
+        ret = dca(adata, ae_type=ae_type, copy=True, epochs=EPOCHS, verbose=False)
+        assert ret.X.shape == adata.shape

@@ -1,0 +1,77 @@
+"""CLI end-to-end: the ``dca <matrix> <outdir>`` contract (reference
+__main__.py + train.py:103-191) — gene×cell TSV in, full TSV output set out."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dca_tpu.__main__ import main, parse_args
+
+from conftest import make_counts
+
+
+@pytest.fixture()
+def input_tsv(tmp_path):
+    # CLI convention: gene x cell (genes are rows), __main__.py:21-27
+    counts = make_counts(60, 20, seed=11)  # cells x genes
+    df = pd.DataFrame(
+        counts.T.astype(int),
+        index=[f"gene{i}" for i in range(20)],
+        columns=[f"cell{i}" for i in range(60)],
+    )
+    f = str(tmp_path / "counts.tsv")
+    df.to_csv(f, sep="\t")
+    return f
+
+
+def test_defaults_parse():
+    args = parse_args(["in.tsv", "out"])
+    assert args.type == "nb-conddisp"
+    assert args.batchsize == 32
+    assert args.epochs == 300
+    assert args.hiddensize == "64,32,64"
+    assert args.sizefactors and args.batchnorm and args.norminput and args.loginput
+    assert args.gradclip == 5.0
+
+
+def test_cli_end_to_end(input_tsv, tmp_path):
+    outdir = str(tmp_path / "out")
+    main([input_tsv, outdir, "-e", "2", "-s", "16,8,16", "--type", "zinb-conddisp"])
+
+    for fname in ("mean.tsv", "latent.tsv", "dispersion.tsv", "dropout.tsv",
+                  "pi.tsv", "reduced.tsv", "mean_norm.tsv", "model.pickle"):
+        assert os.path.exists(os.path.join(outdir, fname)), fname
+
+    # mean.tsv is transposed to gene x cell (network.py:223-225)
+    mean = pd.read_csv(os.path.join(outdir, "mean.tsv"), sep="\t", index_col=0)
+    assert mean.shape == (20, 60)
+    assert mean.index[0].startswith("gene")
+    assert np.isfinite(mean.to_numpy()).all()
+
+    latent = pd.read_csv(os.path.join(outdir, "latent.tsv"), sep="\t", index_col=0)
+    assert latent.shape == (60, 8)
+
+
+def test_cli_nb_type(input_tsv, tmp_path):
+    outdir = str(tmp_path / "out_nb")
+    main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--type", "nb"])
+    disp = pd.read_csv(os.path.join(outdir, "dispersion.tsv"), sep="\t", index_col=0)
+    assert disp.shape[0] == 20  # gene-wise constant dispersion, transposed
+
+
+def test_cli_testsplit(input_tsv, tmp_path):
+    outdir = str(tmp_path / "out_split")
+    main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--testsplit"])
+    assert os.path.exists(os.path.join(outdir, "mean.tsv"))
+
+
+def test_cli_denoisesubset(input_tsv, tmp_path):
+    genefile = str(tmp_path / "genes.txt")
+    with open(genefile, "w") as f:
+        f.write("\n".join(f"gene{i}" for i in range(5)))
+    outdir = str(tmp_path / "out_subset")
+    main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--denoisesubset", genefile])
+    mean = pd.read_csv(os.path.join(outdir, "mean.tsv"), sep="\t", index_col=0)
+    assert mean.shape[0] == 5  # only the subset genes, gene x cell
