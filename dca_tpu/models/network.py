@@ -28,6 +28,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .. import losses
+from ..config import use_fused_loss
 from ..data.io import write_text_matrix
 from . import core
 
@@ -125,22 +126,45 @@ class Autoencoder:
         )
 
     def likelihood_loss(self, outputs, target, sample_weights=None):
-        """Negative log-likelihood given forward outputs (no weight penalty)."""
+        """Negative log-likelihood given forward outputs (no weight penalty).
+
+        On TPU (config.use_fused_loss) the NB/ZINB paths dispatch to the
+        fused Pallas kernels when dispersion/pi are full (B, G) tensors —
+        the conddisp variants, including the flagship zinb-conddisp."""
         lk = self.definition.likelihood
+        out = outputs["output"]
         if lk == "mse":
-            return losses.mse_loss(target, outputs["output"], sample_weights=sample_weights)
+            return losses.mse_loss(target, out, sample_weights=sample_weights)
         if lk == "poisson":
-            return losses.poisson_loss(target, outputs["output"], sample_weights=sample_weights)
+            return losses.poisson_loss(target, out, sample_weights=sample_weights)
+
+        disp = outputs["disp"]
+        fused_ok = (
+            sample_weights is None
+            and use_fused_loss()
+            and hasattr(target, "shape")
+            and disp is not None
+            and tuple(disp.shape) == tuple(out.shape)
+        )
         if lk == "nb":
-            return losses.nb_nll(
-                target, outputs["output"], outputs["disp"], sample_weights=sample_weights
-            )
+            if fused_ok:
+                from ..ops.fused_loss import nb_nll_fused
+
+                return nb_nll_fused(jnp.asarray(target, jnp.float32), out, disp)
+            return losses.nb_nll(target, out, disp, sample_weights=sample_weights)
         if lk == "zinb":
+            pi = outputs["pi"]
+            if fused_ok and pi is not None and tuple(pi.shape) == tuple(out.shape):
+                from ..ops.fused_loss import zinb_nll_fused
+
+                return zinb_nll_fused(
+                    jnp.asarray(target, jnp.float32), out, disp, pi, float(self.ridge)
+                )
             return losses.zinb_nll(
                 target,
-                outputs["output"],
-                outputs["disp"],
-                outputs["pi"],
+                out,
+                disp,
+                pi,
                 ridge_lambda=self.ridge,
                 sample_weights=sample_weights,
             )

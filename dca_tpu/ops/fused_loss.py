@@ -1,0 +1,257 @@
+"""Fused Pallas TPU kernels for the ZINB/NB negative log-likelihood.
+
+The reference's hot loss is a long elementwise chain over (B, G) built from
+TF ops (loss.py:60-156).  Here it is a single Pallas kernel per direction:
+
+  * forward: one pass over (y, mu, theta, pi) tiles in VMEM producing
+    per-block partial sums — no (B, G) intermediate ever hits HBM;
+  * backward: custom VJP with ANALYTIC gradients (d/dmu, d/dtheta, d/dpi)
+    recomputed in one fused pass, instead of XLA taping ~20 intermediates.
+
+lgamma/digamma are not available in Mosaic (probed: NotImplementedError), so
+the kernels use the in-package Stirling implementations (ops/special.py,
+verified to ~2e-6 against scipy).
+
+Numerics match ``dca_tpu.losses.zinb_nll``/``nb_nll`` with
+masking=False, mean reduction (the training default): eps=1e-10, theta clip
+1e6, zero branch at y<1e-8, ridge*pi^2.  Equivalence + gradient tests:
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .special import lgamma, digamma
+
+EPS = 1e-10
+THETA_CLIP = 1e6
+ZERO_THRESHOLD = 1e-8
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _tiles(B, G):
+    # (256, 512) f32 tiles: 4 operands + 3 outputs + ~10 live temporaries of
+    # 512 KB each stay well under the 16 MB VMEM scoped limit (a (512, 1024)
+    # tile OOMed at 36 MB on v5e).
+    BM = min(_round_up(B, 8), 256)
+    BN = min(_round_up(G, 128), 512)
+    return BM, BN
+
+
+def _elem_terms(y, mu, th_raw, pi, ridge):
+    """Shared elementwise forward math (ZINB). Returns per-element NLL."""
+    eps = EPS
+    th = jnp.minimum(th_raw, THETA_CLIP)
+    t1 = lgamma(th + eps) + lgamma(y + 1.0) - lgamma(y + th + eps)
+    t2 = (th + y) * jnp.log1p(mu / (th + eps)) + y * (
+        jnp.log(th + eps) - jnp.log(mu + eps)
+    )
+    nb = t1 + t2
+    if pi is None:
+        return nb
+    nb_case = nb - jnp.log(1.0 - pi + eps)
+    # pow via exp/log (pow not relied upon in Mosaic); th > 0 always
+    zero_nb = jnp.exp(th * (jnp.log(th) - jnp.log(th + mu + eps)))
+    zero_case = -jnp.log(pi + (1.0 - pi) * zero_nb + eps)
+    res = jnp.where(y < ZERO_THRESHOLD, zero_case, nb_case)
+    return res + ridge * pi * pi
+
+
+def _elem_grads(y, mu, th_raw, pi, ridge):
+    """Analytic elementwise gradients wrt (mu, theta, pi)."""
+    eps = EPS
+    th = jnp.minimum(th_raw, THETA_CLIP)
+    th_e = th + eps
+    mu_e = mu + eps
+    thmu = th_e + mu
+
+    dmu_nb = (th + y) / thmu - y / mu_e
+    dth_nb = (
+        digamma(th_e)
+        - digamma(y + th_e)
+        + jnp.log1p(mu / th_e)
+        + (th + y) * (1.0 / thmu - 1.0 / th_e)
+        + y / th_e
+    )
+
+    if pi is None:
+        dth = jnp.where(th_raw > THETA_CLIP, 0.0, dth_nb)
+        return dmu_nb, dth, None
+
+    z = jnp.exp(th * (jnp.log(th) - jnp.log(th + mu + eps)))
+    denom = pi + (1.0 - pi) * z + eps
+    dz_dmu = -z * th / (th + mu + eps)
+    dz_dth = z * (jnp.log(th) - jnp.log(th + mu + eps) + 1.0 - th / (th + mu + eps))
+    dmu_zero = -(1.0 - pi) * dz_dmu / denom
+    dth_zero = -(1.0 - pi) * dz_dth / denom
+    dpi_nb = 1.0 / (1.0 - pi + eps)
+    dpi_zero = -(1.0 - z) / denom
+
+    is_zero = y < ZERO_THRESHOLD
+    dmu = jnp.where(is_zero, dmu_zero, dmu_nb)
+    dth = jnp.where(is_zero, dth_zero, dth_nb)
+    dth = jnp.where(th_raw > THETA_CLIP, 0.0, dth)
+    dpi = jnp.where(is_zero, dpi_zero, dpi_nb) + 2.0 * ridge * pi
+    return dmu, dth, dpi
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, *, B, G, BM, BN, ridge,
+                with_pi):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    y = y_ref[:]
+    mu = mu_ref[:]
+    th = th_ref[:]
+    pi = pi_ref[:] if with_pi else None
+    res = _elem_terms(y, mu, th, pi, ridge)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0) + i * BM
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * BN
+    mask = (rows < B) & (cols < G)
+    # out_ref is the FULL (grid_i, grid_j) partial-sum array in SMEM (block ==
+    # array, constant index_map — satisfies the TPU tile rule); each grid step
+    # writes its own element, the host sums them.
+    out_ref[i, j] = jnp.sum(jnp.where(mask, res, 0.0))
+
+
+def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, dmu_ref, dth_ref,
+                dpi_ref, *, B, G, BM, BN, ridge, with_pi):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    scale = scale_ref[0, 0]
+    y = y_ref[:]
+    mu = mu_ref[:]
+    th = th_ref[:]
+    pi = pi_ref[:] if with_pi else None
+    dmu, dth, dpi = _elem_grads(y, mu, th, pi, ridge)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0) + i * BM
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * BN
+    mask = (rows < B) & (cols < G)
+    zero = jnp.zeros_like(mu)
+    dmu_ref[:] = jnp.where(mask, dmu * scale, zero)
+    dth_ref[:] = jnp.where(mask, dth * scale, zero)
+    if with_pi:
+        dpi_ref[:] = jnp.where(mask, dpi * scale, zero)
+    else:
+        dpi_ref[:] = zero
+
+
+def _pallas_fwd(y, mu, th, pi, ridge, interpret):
+    B, G = y.shape
+    BM, BN = _tiles(B, G)
+    grid = (pl.cdiv(B, BM), pl.cdiv(G, BN))
+    with_pi = pi is not None
+    pi_in = pi if with_pi else th  # dummy operand to keep arity static
+
+    block = pl.BlockSpec((BM, BN), lambda i, j: (i, j))
+    kernel = functools.partial(
+        _fwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
+    )
+    partials = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block, block, block],
+        out_specs=pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
+        interpret=interpret,
+    )(y, mu, th, pi_in)
+    return jnp.sum(partials) / (B * G)
+
+
+def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret):
+    B, G = y.shape
+    BM, BN = _tiles(B, G)
+    grid = (pl.cdiv(B, BM), pl.cdiv(G, BN))
+    with_pi = pi is not None
+    pi_in = pi if with_pi else th
+
+    block = pl.BlockSpec((BM, BN), lambda i, j: (i, j))
+    kernel = functools.partial(
+        _bwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
+    )
+    out_shape = jax.ShapeDtypeStruct((B, G), jnp.float32)
+    dmu, dth, dpi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            block,
+            block,
+            block,
+        ],
+        out_specs=[block, block, block],
+        out_shape=[out_shape, out_shape, out_shape],
+        interpret=interpret,
+    )(scale.reshape((1, 1)), y, mu, th, pi_in)
+    return dmu, dth, (dpi if with_pi else None)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def zinb_nll_fused(y, mu, theta, pi, ridge_lambda=0.0, interpret=False):
+    """Mean ZINB NLL over (B, G) f32 arrays — fused Pallas forward+backward.
+
+    Semantics == losses.zinb_nll(y, mu, theta, pi, ridge_lambda=...,
+    masking=False, mean=True) for finite inputs; theta/pi must be
+    pre-broadcast to (B, G).
+    """
+    return _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
+
+
+def _zinb_fwd(y, mu, theta, pi, ridge_lambda, interpret):
+    loss = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
+    return loss, (y, mu, theta, pi)
+
+
+def _zinb_bwd(ridge_lambda, interpret, res, g):
+    y, mu, theta, pi = res
+    B, G = y.shape
+    scale = (g / (B * G)).astype(jnp.float32)
+    dmu, dth, dpi = _pallas_bwd(y, mu, theta, pi, ridge_lambda, scale, interpret)
+    return jnp.zeros_like(y), dmu, dth, dpi
+
+
+zinb_nll_fused.defvjp(_zinb_fwd, _zinb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def nb_nll_fused(y, mu, theta, scale_factor=1.0, interpret=False):
+    """Mean NB NLL over (B, G) f32 arrays — fused Pallas forward+backward."""
+    del scale_factor  # parity arg; callers pre-scale mu (always 1.0 in-tree)
+    return _pallas_fwd(y, mu, theta, None, 0.0, interpret)
+
+
+def _nb_fwd(y, mu, theta, scale_factor, interpret):
+    loss = _pallas_fwd(y, mu, theta, None, 0.0, interpret)
+    return loss, (y, mu, theta)
+
+
+def _nb_bwd(scale_factor, interpret, res, g):
+    y, mu, theta = res
+    B, G = y.shape
+    scale = (g / (B * G)).astype(jnp.float32)
+    dmu, dth, _ = _pallas_bwd(y, mu, theta, None, 0.0, scale, interpret)
+    return jnp.zeros_like(y), dmu, dth
+
+
+nb_nll_fused.defvjp(_nb_fwd, _nb_bwd)

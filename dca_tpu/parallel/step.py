@@ -63,16 +63,14 @@ def make_sharded_train_step(network, opt, mesh: Mesh, donate: bool = True):
         params, opt_state = opt.update(grads, opt_state, params, lr)
         return params, new_state, opt_state, loss
 
+    # NamedSharding on the inputs carries the mesh — no mesh context needed;
+    # GSPMD propagates shardings through the whole step.
     step_fn = jax.jit(
         _step,
         donate_argnums=(0, 1, 2) if donate else (),
     )
 
-    def wrapped(params, state, opt_state, xb, tb, sfb, lr, rng):
-        with jax.sharding.use_mesh(mesh):
-            return step_fn(params, state, opt_state, xb, tb, sfb, lr, rng)
-
-    return wrapped, place_state
+    return step_fn, place_state
 
 
 def make_sharded_epoch(network, opt, mesh: Mesh):
@@ -101,8 +99,4 @@ def make_sharded_epoch(network, opt, mesh: Mesh):
         )
         return params, state, opt_state, losses_seq
 
-    def wrapped(*args):
-        with jax.sharding.use_mesh(mesh):
-            return epoch_fn(*args)
-
-    return wrapped
+    return epoch_fn

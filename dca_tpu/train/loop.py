@@ -75,11 +75,18 @@ def train(
     verbose=True,
     threads=None,
     seed=42,
+    compiled="auto",
     **kwds,
 ):
-    """Reference-compatible ``train`` (train.py:35-100). Returns History."""
+    """Reference-compatible ``train`` (train.py:35-100). Returns History.
+
+    ``compiled='auto'`` runs the ENTIRE fit (epochs + callbacks) as one XLA
+    program on TPU backends (see compiled.py) and falls back to the
+    Python-epoch loop elsewhere; pass True/False to force."""
     del threads  # XLA owns its own threading; accepted for API compatibility
     assert network.params is not None, "network.build() must be called before train()"
+    if compiled == "auto":
+        compiled = jax.default_backend() == "tpu"
 
     if output_dir is not None:
         os.makedirs(output_dir, exist_ok=True)
@@ -115,6 +122,15 @@ def train(
             jnp.asarray(X_val),
             jnp.asarray(T_val),
             jnp.asarray(sf_val),
+        )
+
+    if compiled:
+        return _train_compiled(
+            network, opt, lr, dev_Xtr, dev_Ttr, dev_sftr,
+            (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
+            n_train=n_train, batch_size=bs, epochs=epochs, reduce_lr=reduce_lr,
+            early_stop=early_stop, save_weights=save_weights,
+            output_dir=output_dir, seed=seed, verbose=verbose,
         )
 
     loss_fn = network.loss_fn
@@ -349,3 +365,65 @@ def train_with_args(args):
 
     net.predict(adata, mode="full", return_info=True)
     net.write(adata, args.outputdir, mode="full", colnames=predict_columns)
+
+
+def _train_compiled(
+    network, opt, lr, Xtr, Ttr, SFtr, val, *, n_train, batch_size, epochs,
+    reduce_lr, early_stop, save_weights, output_dir, seed, verbose,
+):
+    """One-device-call fit (see compiled.py)."""
+    from .compiled import build_fit_fn
+
+    has_val = val is not None
+    track_best = bool(save_weights and output_dir is not None)
+    fit = jax.jit(
+        build_fit_fn(
+            network,
+            opt,
+            n_train=n_train,
+            batch_size=batch_size,
+            epochs=epochs,
+            has_val=has_val,
+            reduce_lr=reduce_lr,
+            early_stop=early_stop,
+            track_best=track_best,
+        )
+    )
+    if has_val:
+        Xval, Tval, SFval = val
+    else:
+        # zero-size placeholders keep the signature static
+        Xval = jnp.zeros((1, Xtr.shape[1]), jnp.float32)
+        Tval = jnp.zeros((1, Ttr.shape[1]), jnp.float32)
+        SFval = jnp.ones((1,), jnp.float32)
+
+    opt_state = opt.init(network.params)
+    (params, state, best_params, best_state, loss_h, val_h, lr_h, epochs_run) = fit(
+        network.params, network.state, opt_state, Xtr, Ttr, SFtr,
+        Xval, Tval, SFval, jnp.float32(lr), jax.random.PRNGKey(seed),
+    )
+    n_run = int(epochs_run)
+
+    hist = History()
+    loss_np = np.asarray(loss_h)[:n_run]
+    lr_np = np.asarray(lr_h)[:n_run]
+    val_np = np.asarray(val_h)[:n_run]
+    for e in range(n_run):
+        hist.append("loss", loss_np[e])
+        hist.append("lr", lr_np[e])
+        if has_val:
+            hist.append("val_loss", val_np[e])
+        if verbose:
+            msg = f"Epoch {e + 1}/{epochs} - loss: {loss_np[e]:.4f}"
+            if has_val:
+                msg += f" - val_loss: {val_np[e]:.4f}"
+            print(msg + f" - lr: {lr_np[e]:.2e}")
+
+    network.params, network.state = params, state
+    network._predict_jit = None
+    if track_best:
+        final_params, final_state = network.params, network.state
+        network.params, network.state = best_params, best_state
+        network.save_weights(os.path.join(output_dir, "weights.hdf5"))
+        network.params, network.state = final_params, final_state
+    return hist

@@ -50,14 +50,18 @@ def test_cli_end_to_end(input_tsv, tmp_path):
     assert mean.index[0].startswith("gene")
     assert np.isfinite(mean.to_numpy()).all()
 
-    latent = pd.read_csv(os.path.join(outdir, "latent.tsv"), sep="\t", index_col=0)
+    # latent.tsv has rownames but NO header (colnames=None in the writer)
+    latent = pd.read_csv(os.path.join(outdir, "latent.tsv"), sep="\t", index_col=0,
+                         header=None)
     assert latent.shape == (60, 8)
 
 
 def test_cli_nb_type(input_tsv, tmp_path):
     outdir = str(tmp_path / "out_nb")
     main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--type", "nb"])
-    disp = pd.read_csv(os.path.join(outdir, "dispersion.tsv"), sep="\t", index_col=0)
+    # dispersion.tsv: gene rownames, no header (transpose swaps names away)
+    disp = pd.read_csv(os.path.join(outdir, "dispersion.tsv"), sep="\t", index_col=0,
+                       header=None)
     assert disp.shape[0] == 20  # gene-wise constant dispersion, transposed
 
 

@@ -1,0 +1,88 @@
+"""TPE hyperparameter search tests (reference hyper.py surface + the TPE
+engine itself on a synthetic objective)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dca_tpu.hyper import (
+    TPE,
+    Choice,
+    LogUniform,
+    Uniform,
+    hyper_search,
+    reference_space,
+)
+
+from conftest import make_adata
+
+
+def test_reference_space_matches_reference():
+    space = reference_space(hyperepoch=77)
+    assert set(space) == {
+        "norm_input_log", "norm_input_zeromean", "norm_input_sf",
+        "lr", "ridge", "l1_enc_coef", "hidden_size", "activation",
+        "aetype", "batchnorm", "dropout", "input_dropout", "epochs",
+    }
+    assert space["aetype"].options == ("zinb", "zinb-conddisp")
+    assert len(space["hidden_size"].options) == 9
+    assert space["epochs"].options == (77,)
+
+
+def test_tpe_converges_on_quadratic():
+    """TPE must beat random search on a smooth 2-D objective."""
+    space = {
+        "x": Uniform(-5.0, 5.0),
+        "y": LogUniform(1e-3, 1e3),
+        "c": Choice(("good", "bad")),
+    }
+
+    def objective(cfg):
+        penalty = 0.0 if cfg["c"] == "good" else 5.0
+        return (cfg["x"] - 2.0) ** 2 + (np.log10(cfg["y"]) - 1.0) ** 2 + penalty
+
+    tpe = TPE(space, seed=0, n_startup=15)
+    best = np.inf
+    for _ in range(80):
+        cfg = tpe.suggest()
+        loss = objective(cfg)
+        tpe.observe(cfg, loss)
+        best = min(best, loss)
+    assert best < 0.3, best
+    # exploitation: late proposals should focus on the good region
+    late = [t["config"] for t in tpe.trials[-20:]]
+    assert np.mean([c["c"] == "good" for c in late]) > 0.6
+
+
+def test_tpe_handles_failures():
+    space = {"x": Uniform(0, 1)}
+    tpe = TPE(space, seed=1, n_startup=5)
+    for i in range(10):
+        cfg = tpe.suggest()
+        tpe.observe(cfg, float("inf") if i % 2 else cfg["x"])
+    cfg = tpe.suggest()
+    assert 0 <= cfg["x"] <= 1
+
+
+def test_hyper_search_end_to_end(tmp_path):
+    """Tiny real search over the reference space (2 trials, 1 epoch)."""
+    adata = make_adata(60, 15, seed=12)
+    best_cfg, best_loss, trials = hyper_search(
+        adata,
+        n_trials=2,
+        hyperepoch=1,
+        output_dir=str(tmp_path),
+        seed=0,
+        verbose=False,
+    )
+    assert len(trials) == 2
+    assert best_cfg is not None
+    assert np.isfinite(best_loss)
+    out = os.path.join(str(tmp_path), "hyperopt_results")
+    assert os.path.exists(os.path.join(out, "trials.pickle"))
+    with open(os.path.join(out, "best.json")) as f:
+        best = json.load(f)
+    assert "config" in best and "loss" in best
+    assert best["config"]["aetype"] in ("zinb", "zinb-conddisp")

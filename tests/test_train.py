@@ -58,7 +58,7 @@ def test_reduce_lr_on_plateau():
     net = AE_types["nb-conddisp"](input_size=20, hidden_size=(8, 4, 8))
     net.build()
     hist = train(
-        prepped, net, epochs=10, early_stop=0, reduce_lr=2, learning_rate=0.0,
+        prepped, net, epochs=10, early_stop=0, reduce_lr=2, learning_rate=1e-9,
         verbose=False, seed=0,
     )
     lrs = hist.history["lr"]
