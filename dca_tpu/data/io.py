@@ -202,11 +202,17 @@ def normalize(
     size_factors=True,
     normalize_input=True,
     logtrans_input=True,
+    lazy_scale=False,
 ):
     """Reference io.py:88-111.
 
     Net effect: model input = scaled log counts in ``adata.X``; loss target =
     raw counts in ``adata.raw.X``; size factors in ``adata.obs.size_factors``.
+
+    ``lazy_scale=True`` (rebuild extension for larger-than-memory data):
+    compute the per-gene scale statistics but do NOT densify — ``adata.X``
+    stays sparse and the streaming trainer applies
+    ``(x - mean) / std`` chunk-wise (data/loader.py).
     """
     if filter_min_counts:
         filter_genes(adata, min_counts=1)
@@ -227,7 +233,14 @@ def normalize(
         log1p(adata)
 
     if normalize_input:
-        scale(adata)
+        if lazy_scale:
+            from .loader import lazy_scale_stats
+
+            mean, std = lazy_scale_stats(adata.X)
+            adata.uns["dca_scale_mean"] = mean
+            adata.uns["dca_scale_std"] = std
+        else:
+            scale(adata)
 
     return adata
 

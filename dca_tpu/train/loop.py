@@ -76,15 +76,30 @@ def train(
     threads=None,
     seed=42,
     compiled="auto",
+    checkpoint_every=0,
+    resume=False,
+    max_device_cells=None,
     **kwds,
 ):
     """Reference-compatible ``train`` (train.py:35-100). Returns History.
 
     ``compiled='auto'`` runs the ENTIRE fit (epochs + callbacks) as one XLA
     program on TPU backends (see compiled.py) and falls back to the
-    Python-epoch loop elsewhere; pass True/False to force."""
+    Python-epoch loop elsewhere; pass True/False to force.
+
+    ``checkpoint_every=N`` saves the FULL train state (params, BN state,
+    optimizer accumulators, lr, callback counters) every N epochs under
+    <output_dir>/checkpoints; ``resume=True`` restores the latest one —
+    true crash-resume, which the reference lacks (SURVEY.md §5.4). Forces
+    the Python-epoch loop.
+
+    ``tensorboard=True`` records a jax.profiler trace under
+    <output_dir>/tb viewable in TensorBoard (reference train.py:76-79
+    analogue)."""
     del threads  # XLA owns its own threading; accepted for API compatibility
     assert network.params is not None, "network.build() must be called before train()"
+    if checkpoint_every or resume:
+        compiled = False
     if compiled == "auto":
         compiled = jax.default_backend() == "tpu"
 
@@ -93,6 +108,22 @@ def train(
 
     opt = get_optimizer(optimizer, clipvalue=clip_grad)
     lr = float(learning_rate) if learning_rate is not None else opt.default_lr
+
+    # ----- streaming path for larger-than-device datasets -----
+    n_cells, n_genes = adata.n_obs, adata.n_vars
+    est_bytes = n_cells * n_genes * 4 * 2  # input + target, f32
+    if max_device_cells is not None:
+        stream = n_cells > max_device_cells
+    else:
+        stream = est_bytes > int(os.environ.get("DCA_TPU_DEVICE_BYTES", 6_000_000_000))
+    if stream:
+        return _train_streaming(
+            adata, network, opt, lr, epochs=epochs, reduce_lr=reduce_lr,
+            early_stop=early_stop, batch_size=batch_size,
+            validation_split=validation_split, use_raw_as_output=use_raw_as_output,
+            output_subset=output_subset, seed=seed, verbose=verbose,
+            max_device_cells=max_device_cells or 131072,
+        )
 
     # ----- assemble host arrays (train.py:83-89) -----
     X = _densify(adata.X)
@@ -123,6 +154,30 @@ def train(
             jnp.asarray(T_val),
             jnp.asarray(sf_val),
         )
+
+    if tensorboard and output_dir is not None:
+        jax.profiler.start_trace(os.path.join(output_dir, "tb"))
+
+    try:
+        return _train_inner(
+            network, opt, lr, epochs, reduce_lr, early_stop, save_weights,
+            output_dir, seed, verbose, compiled, checkpoint_every, resume,
+            dev_Xtr, dev_Ttr, dev_sftr,
+            (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
+            n_train, bs, n_full, rem, has_val,
+        )
+    finally:
+        if tensorboard and output_dir is not None:
+            jax.profiler.stop_trace()
+
+
+def _train_inner(
+    network, opt, lr, epochs, reduce_lr, early_stop, save_weights, output_dir,
+    seed, verbose, compiled, checkpoint_every, resume,
+    dev_Xtr, dev_Ttr, dev_sftr, val, n_train, bs, n_full, rem, has_val,
+):
+    if has_val:
+        dev_Xval, dev_Tval, dev_sfval = val
 
     if compiled:
         return _train_compiled(
@@ -186,10 +241,37 @@ def train(
     rlr_factor, rlr_min_delta, rlr_min_lr = 0.1, 1e-4, 0.0
     stop = False
     best_saved_params = None
+    start_epoch = 0
+
+    ckpt = None
+    if (checkpoint_every or resume) and output_dir is not None:
+        from .checkpoint import TrainCheckpoint
+
+        ckpt = TrainCheckpoint(os.path.join(output_dir, "checkpoints"))
+        if resume:
+            tree, meta = ckpt.restore(
+                {"params": params, "state": state, "opt_state": opt_state}
+            )
+            if tree is not None:
+                params, state, opt_state = (
+                    tree["params"], tree["state"], tree["opt_state"]
+                )
+                lr = meta["lr"]
+                cb = meta.get("callback_state", {})
+                best_monitor = cb.get("best_monitor", best_monitor)
+                es_wait = cb.get("es_wait", 0)
+                rlr_best = cb.get("rlr_best", rlr_best)
+                rlr_wait = cb.get("rlr_wait", 0)
+                start_epoch = int(meta["step"]) + 1
+                # replay the shuffle stream so resumed epochs see the same perms
+                for _ in range(start_epoch):
+                    rng_np.permutation(n_train)
+                if verbose:
+                    print(f"dca_tpu: resumed from epoch {start_epoch}")
 
     monitor_name = "val_loss" if has_val else "loss"
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         perm = rng_np.permutation(n_train).astype(np.int32)
         epoch_rng = jax.random.fold_in(base_rng, epoch)
         lr_arr = jnp.float32(lr)
@@ -259,6 +341,24 @@ def train(
                         print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {new_lr:.2e}")
                     lr = new_lr
                     rlr_wait = 0
+
+        if ckpt is not None and checkpoint_every and (
+            (epoch + 1) % checkpoint_every == 0 or stop or epoch == epochs - 1
+        ):
+            ckpt.save(
+                epoch,
+                params,
+                state,
+                opt_state,
+                lr=lr,
+                seed=seed,
+                callback_state=dict(
+                    best_monitor=best_monitor,
+                    es_wait=es_wait,
+                    rlr_best=rlr_best,
+                    rlr_wait=rlr_wait,
+                ),
+            )
 
         if stop:
             break
@@ -426,4 +526,170 @@ def _train_compiled(
         network.params, network.state = best_params, best_state
         network.save_weights(os.path.join(output_dir, "weights.hdf5"))
         network.params, network.state = final_params, final_state
+    return hist
+
+
+def _train_streaming(
+    adata, network, opt, lr, *, epochs, reduce_lr, early_stop, batch_size,
+    validation_split, use_raw_as_output, output_subset, seed, verbose,
+    max_device_cells,
+):
+    """Chunked training for datasets too large to stage on device whole
+    (data/loader.py).  The count matrix stays sparse on the host; shuffled
+    fixed-size chunks are densified (+ lazily z-scaled), shipped to HBM once
+    per epoch, and all their minibatch steps run as one on-device scan."""
+    import scipy.sparse as _sp
+
+    from ..data.loader import StreamingData, lazy_scale_stats
+
+    X = adata.X
+    sf = _size_factors(adata)
+    if output_subset:
+        gene_idx = [np.where(adata.raw.var_names == x)[0][0] for x in output_subset]
+        target = adata.raw.X[:, gene_idx] if use_raw_as_output else X[:, gene_idx]
+    else:
+        target = adata.raw.X if use_raw_as_output else X
+
+    scale_mean = scale_std = None
+    if "dca_scale_mean" in adata.uns:  # lazy-scale mode (normalize(lazy=True))
+        scale_mean = np.asarray(adata.uns["dca_scale_mean"], np.float32)
+        scale_std = np.asarray(adata.uns["dca_scale_std"], np.float32)
+
+    n = X.shape[0]
+    split_at = int(n * (1.0 - validation_split))
+    bs = min(batch_size, max(split_at, 1))
+    chunk = max((min(max_device_cells, split_at) // bs) * bs, bs)
+
+    tr = StreamingData(X[:split_at], target[:split_at], sf[:split_at], chunk,
+                       scale_mean, scale_std)
+    has_val = split_at < n
+    if has_val:
+        va = StreamingData(X[split_at:], target[split_at:], sf[split_at:], chunk,
+                           scale_mean, scale_std)
+    n_train = split_at
+
+    loss_fn = network.loss_fn
+
+    def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, xb, sfb, tb, True, rng
+        )
+        params, opt_state = opt.update(grads, opt_state, params, lr_arr)
+        return params, new_state, opt_state, loss
+
+    @jax.jit
+    def chunk_fn(params, state, opt_state, Xc, Tc, SFc, lr_arr, rng):
+        nb = Xc.shape[0] // bs
+
+        def body(carry, step_i):
+            params, state, opt_state = carry
+            lo = step_i * bs
+            xb = jax.lax.dynamic_slice_in_dim(Xc, lo, bs, 0)
+            tb = jax.lax.dynamic_slice_in_dim(Tc, lo, bs, 0)
+            sfb = jax.lax.dynamic_slice_in_dim(SFc, lo, bs, 0)
+            params, state, opt_state, loss = _step(
+                params, state, opt_state, xb, tb, sfb, lr_arr,
+                jax.random.fold_in(rng, step_i),
+            )
+            return (params, state, opt_state), loss
+
+        (params, state, opt_state), losses_seq = jax.lax.scan(
+            body, (params, state, opt_state), jnp.arange(nb, dtype=jnp.int32)
+        )
+        return params, state, opt_state, jnp.sum(losses_seq) * bs
+
+    @jax.jit
+    def rem_fn(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
+        params, state, opt_state, loss = _step(
+            params, state, opt_state, xb, tb, sfb, lr_arr, rng
+        )
+        return params, state, opt_state, loss * xb.shape[0]
+
+    @jax.jit
+    def eval_chunk(params, state, xb, sfb, tb):
+        loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
+        return loss * xb.shape[0]
+
+    params, state = network.params, network.state
+    opt_state = opt.init(params)
+    rng_np = np.random.RandomState(seed)
+    base_rng = jax.random.PRNGKey(seed)
+
+    hist = History()
+    best_monitor = math.inf
+    es_wait = rlr_wait = 0
+    rlr_best = math.inf
+    stop = False
+
+    for epoch in range(epochs):
+        perm = rng_np.permutation(n_train)
+        epoch_rng = jax.random.fold_in(base_rng, epoch)
+        lr_arr = jnp.float32(lr)
+        total = 0.0
+        ci = 0
+        for xc, tc, sfc, is_full in tr.epoch_chunks(perm):
+            crng = jax.random.fold_in(epoch_rng, ci)
+            n_c = xc.shape[0]
+            nb = n_c // bs
+            if nb > 0:
+                params, state, opt_state, s = chunk_fn(
+                    params, state, opt_state,
+                    jnp.asarray(xc[: nb * bs]), jnp.asarray(tc[: nb * bs]),
+                    jnp.asarray(sfc[: nb * bs]), lr_arr, crng,
+                )
+                total += float(s)
+            if n_c - nb * bs > 0:
+                params, state, opt_state, s = rem_fn(
+                    params, state, opt_state,
+                    jnp.asarray(xc[nb * bs:]), jnp.asarray(tc[nb * bs:]),
+                    jnp.asarray(sfc[nb * bs:]), lr_arr,
+                    jax.random.fold_in(crng, 10_000),
+                )
+                total += float(s)
+            ci += 1
+
+        train_loss = total / max(n_train, 1)
+        hist.append("loss", train_loss)
+        hist.append("lr", lr)
+
+        if has_val:
+            vtot, vn = 0.0, 0
+            order = np.arange(va.n)
+            for xc, tc, sfc, _ in va.epoch_chunks(order):
+                vtot += float(eval_chunk(params, state, jnp.asarray(xc),
+                                         jnp.asarray(sfc), jnp.asarray(tc)))
+                vn += xc.shape[0]
+            val_loss = vtot / max(vn, 1)
+            hist.append("val_loss", val_loss)
+            monitor = val_loss
+        else:
+            monitor = train_loss
+
+        if verbose:
+            msg = f"Epoch {epoch + 1}/{epochs} - loss: {train_loss:.4f}"
+            if has_val:
+                msg += f" - val_loss: {monitor:.4f}"
+            print(msg + f" - lr: {lr:.2e} [streaming]")
+
+        if monitor < best_monitor:
+            best_monitor = monitor
+            es_wait = 0
+        else:
+            es_wait += 1
+            if early_stop and es_wait >= early_stop:
+                stop = True
+        if reduce_lr:
+            if monitor < rlr_best - 1e-4:
+                rlr_best = monitor
+                rlr_wait = 0
+            else:
+                rlr_wait += 1
+                if rlr_wait >= reduce_lr:
+                    lr = lr * 0.1
+                    rlr_wait = 0
+        if stop:
+            break
+
+    network.params, network.state = params, state
+    network._predict_jit = None
     return hist

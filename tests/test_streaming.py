@@ -1,0 +1,94 @@
+"""Streaming (larger-than-device) input pipeline tests (data/loader.py +
+the chunked trainer path)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from dca_tpu.data import read_dataset, normalize
+from dca_tpu.data.adata import AnnData
+from dca_tpu.data.loader import StreamingData, lazy_scale_stats
+from dca_tpu.models import AE_types
+from dca_tpu.train import train
+
+from conftest import make_counts
+
+
+def test_lazy_scale_stats_match_dense():
+    X = make_counts(200, 40, seed=30)
+    Xs = sp.csr_matrix(X)
+    m_s, s_s = lazy_scale_stats(Xs)
+    m_d, s_d = lazy_scale_stats(X)
+    np.testing.assert_allclose(m_s, m_d, rtol=1e-5)
+    np.testing.assert_allclose(s_s, s_d, rtol=1e-4)
+    np.testing.assert_allclose(m_d, X.mean(0), rtol=1e-5)
+    ref_std = X.std(0, ddof=1)
+    ref_std[ref_std == 0] = 1.0
+    np.testing.assert_allclose(s_d, ref_std, rtol=1e-4)
+
+
+def test_streaming_chunks_cover_everything():
+    X = make_counts(105, 10, seed=31)
+    sd = StreamingData(sp.csr_matrix(X), X, np.ones(105, np.float32), chunk_cells=32)
+    perm = np.random.RandomState(0).permutation(105)
+    seen = []
+    for xc, tc, sfc, is_full in sd.epoch_chunks(perm):
+        assert xc.shape[1] == 10
+        assert xc.dtype == np.float32
+        seen.append(xc.shape[0])
+    assert sum(seen) == 105
+    assert seen[:-1] == [32, 32, 32]
+
+
+def test_streaming_scale_applied():
+    X = make_counts(50, 8, seed=32)
+    mean, std = lazy_scale_stats(X)
+    sd = StreamingData(sp.csr_matrix(X), X, np.ones(50, np.float32), 50, mean, std)
+    xc, tc, _, _ = next(sd.epoch_chunks(np.arange(50)))
+    np.testing.assert_allclose(xc, (X - mean) / std, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(tc, X)  # target stays raw
+
+
+def test_normalize_lazy_scale_keeps_sparse():
+    X = make_counts(80, 20, seed=33)
+    X[X < 3] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+    ad = AnnData(sp.csr_matrix(X))
+    out = normalize(read_dataset(ad), lazy_scale=True)
+    assert sp.issparse(out.X)
+    assert "dca_scale_mean" in out.uns and "dca_scale_std" in out.uns
+
+
+def test_streaming_training_matches_dense_path():
+    """Force streaming with small chunks; loss trajectory must be close to
+    the dense device-resident path (same batches, same order)."""
+    X = make_counts(140, 16, seed=34)
+    ad = normalize(read_dataset(AnnData(X)))
+
+    net_a = AE_types["nb-conddisp"](input_size=16, hidden_size=(8, 4, 8), seed=1)
+    net_a.build()
+    h_a = train(ad, net_a, epochs=4, verbose=False, seed=5, compiled=False)
+
+    net_b = AE_types["nb-conddisp"](input_size=16, hidden_size=(8, 4, 8), seed=1)
+    net_b.build()
+    h_b = train(ad, net_b, epochs=4, verbose=False, seed=5, max_device_cells=64)
+
+    # same seed -> same global permutation; batches are sliced identically
+    np.testing.assert_allclose(h_a.history["loss"], h_b.history["loss"], rtol=2e-3)
+    np.testing.assert_allclose(
+        h_a.history["val_loss"], h_b.history["val_loss"], rtol=2e-3
+    )
+
+
+def test_streaming_sparse_end_to_end():
+    X = make_counts(120, 12, seed=35)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+    ad = normalize(read_dataset(AnnData(sp.csr_matrix(X))), lazy_scale=True)
+    net = AE_types["zinb-conddisp"](input_size=12, hidden_size=(8, 4, 8))
+    net.build()
+    h = train(ad, net, epochs=3, verbose=False, seed=0, max_device_cells=48)
+    assert np.isfinite(h.history["loss"]).all()
+    assert h.history["loss"][-1] < h.history["loss"][0]
