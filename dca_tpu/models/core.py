@@ -620,3 +620,79 @@ def regularization_loss(definition: NetworkDef, params) -> jax.Array:
             continue  # ConstantDispersionLayer theta is unregularized
         add(params["heads"][hname]["kernel"], head.l1, head.l2)
     return total
+
+
+def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factors):
+    """Decoder-only forward: from post-center activations to the output heads
+    (the analogue of the reference get_decoder, network.py:169-177).
+
+    ``latent_act`` is the center layer AFTER BN/activation/dropout — i.e.
+    what the decoder stack consumes in the full forward pass."""
+    x = jnp.asarray(latent_act, jnp.float32)
+    sf = jnp.asarray(size_factors, jnp.float32).reshape(-1, 1)
+
+    center_idx = next(
+        i for i, l in enumerate(definition.shared) if l.name == "center"
+    )
+    decoder_layers = definition.shared[center_idx + 1 :]
+
+    x, _, _ = _apply_stack(
+        decoder_layers,
+        params["trunk"],
+        state["trunk"],
+        x,
+        activation=definition.activation,
+        training=False,
+        rng=None,
+    )
+
+    branch_out = {"": x}
+    for bname, layers in definition.branches.items():
+        bx, _, _ = _apply_stack(
+            layers,
+            params["branches"][bname],
+            state["branches"][bname],
+            x,
+            activation=definition.activation,
+            training=False,
+            rng=None,
+        )
+        branch_out[bname] = bx
+
+    heads = definition.heads
+    out: Dict[str, Optional[jax.Array]] = {}
+    if definition.ae_type == "zinb-elempi":
+        z = (
+            jnp.dot(
+                branch_out[definition.branch_of_head["mean"]],
+                params["heads"]["mean"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["heads"]["mean"]["bias"]
+        )
+        z = -z
+        out["mean"] = MeanAct(z)
+        out["pi"] = _apply_head(heads["pi"], params["heads"]["pi"], z)
+    else:
+        out["mean"] = _apply_head(
+            heads["mean"], params["heads"]["mean"],
+            branch_out[definition.branch_of_head["mean"]],
+        )
+        out["pi"] = (
+            _apply_head(heads["pi"], params["heads"]["pi"],
+                        branch_out[definition.branch_of_head["pi"]])
+            if "pi" in heads
+            else None
+        )
+    if "dispersion" in heads:
+        if heads["dispersion"].kind == "constant":
+            out["disp"] = theta_exp(params)
+        else:
+            out["disp"] = _apply_head(
+                heads["dispersion"], params["heads"]["dispersion"],
+                branch_out[definition.branch_of_head["dispersion"]],
+            )
+    else:
+        out["disp"] = None
+    out["output"] = out["mean"] * sf
+    return out, x

@@ -211,6 +211,22 @@ class Autoencoder:
 
         return encode
 
+    def get_decoder(self):
+        """Callable (latent_activation, size_factors) -> denoised output,
+        the analogue of network.py:169-177 (decoder from post-center
+        activations to the scaled mean)."""
+
+        def decode(latent_act, size_factors=None):
+            latent_act = np.asarray(latent_act, np.float32)
+            if size_factors is None:
+                size_factors = np.ones((latent_act.shape[0],), np.float32)
+            out, _ = core.apply_decoder(
+                self.definition, self.params, self.state, latent_act, size_factors
+            )
+            return np.asarray(out["output"])
+
+        return decode
+
     def _sf_of(self, adata):
         if "size_factors" in adata.obs:
             return np.asarray(adata.obs["size_factors"], np.float32)
@@ -560,3 +576,22 @@ AE_types = {
     "zinb-fork": ZINBForkAutoencoder,
     "zinb-elempi": ZINBAutoencoderElemPi,
 }  # network.py:763-768
+
+
+def load_model(path):
+    """Reconstruct a network from a ``model.pickle`` written by ``save()``
+    (reference io.py:130-131 / network.py:158-162 analogue).
+
+    The reference pickles the pre-build Keras object; our payload carries the
+    constructor config plus (when built) the parameter/state arrays."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    cls = AE_types[payload["ae_type"]]
+    cfg = dict(payload["ctor"])
+    net = cls(**cfg)
+    net.build()
+    if payload.get("params") is not None:
+        net.params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        net.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        net._predict_jit = None
+    return net

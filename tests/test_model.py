@@ -224,3 +224,39 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out1["output"]), np.asarray(out2["output"]), rtol=1e-6
     )
+
+
+def test_get_decoder_matches_full_forward():
+    """decode(encoder activations) == full forward outputs."""
+    net = _build("zinb-conddisp")
+    out, _, x, sf = _fwd(net)
+    # reproduce the center ACTIVATION (post-BN/act) by running the shared
+    # stack manually up to center
+    import jax.numpy as jnp
+    from dca_tpu.models.core import _apply_stack
+
+    center_idx = next(
+        i for i, l in enumerate(net.definition.shared) if l.name == "center"
+    )
+    enc_layers = net.definition.shared[: center_idx + 1]
+    latent_act, _, _ = _apply_stack(
+        enc_layers, net.params["trunk"], net.state["trunk"], jnp.asarray(x),
+        activation="relu", training=False, rng=None,
+    )
+    decode = net.get_decoder()
+    dec_out = decode(np.asarray(latent_act), sf)
+    np.testing.assert_allclose(dec_out, np.asarray(out["output"]), rtol=1e-5)
+
+
+def test_load_model_roundtrip(tmp_path):
+    from dca_tpu.models.network import load_model
+
+    net = AE_types["zinb-conddisp"](input_size=G, file_path=str(tmp_path))
+    net.build()
+    net.save()
+    out1, _, x, sf = _fwd(net)
+    net2 = load_model(str(tmp_path / "model.pickle"))
+    out2, _ = net2.apply(net2.params, net2.state,
+                         np.random.RandomState(0).normal(size=(B, G)).astype(np.float32),
+                         np.random.RandomState(1).uniform(0.5, 2.0, size=(B,)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(out1["output"]), np.asarray(out2["output"]), rtol=1e-6)
