@@ -276,3 +276,26 @@ def write_text_matrix(matrix, filename, rownames=None, colnames=None, transpose=
 
 def read_pickle(inputfile):
     return pickle.load(open(inputfile, "rb"))
+
+
+class AnnSequence:
+    """Minibatch sequence over (matrix, size_factors) — API-compatible with
+    the reference's Keras Sequence stub (io.py:32-50).  The real streaming
+    path is data/loader.StreamingData; this exists for drop-in import
+    compatibility."""
+
+    def __init__(self, matrix, batch_size, sf=None):
+        self.matrix = matrix
+        if sf is None:
+            self.size_factors = np.ones((self.matrix.shape[0], 1), dtype=np.float32)
+        else:
+            self.size_factors = sf
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return len(self.matrix) // self.batch_size
+
+    def __getitem__(self, idx):
+        batch = self.matrix[idx * self.batch_size : (idx + 1) * self.batch_size]
+        batch_sf = self.size_factors[idx * self.batch_size : (idx + 1) * self.batch_size]
+        return {"count": batch, "size_factors": batch_sf}, batch

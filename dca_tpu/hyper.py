@@ -17,8 +17,8 @@ import json
 import math
 import os
 import pickle
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

@@ -29,7 +29,7 @@ reference's.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

@@ -21,7 +21,7 @@ tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ pass the global device list; arrays are built per-host via
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

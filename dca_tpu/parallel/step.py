@@ -9,7 +9,7 @@ reference — it had no distributed path at all (SURVEY.md §2.10).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,6 @@ Differences vs the Python loop (documented, tested):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

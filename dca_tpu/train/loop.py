@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -538,9 +536,7 @@ def _train_streaming(
     (data/loader.py).  The count matrix stays sparse on the host; shuffled
     fixed-size chunks are densified (+ lazily z-scaled), shipped to HBM once
     per epoch, and all their minibatch steps run as one on-device scan."""
-    import scipy.sparse as _sp
-
-    from ..data.loader import StreamingData, lazy_scale_stats
+    from ..data.loader import StreamingData
 
     X = adata.X
     sf = _size_factors(adata)

@@ -13,7 +13,6 @@ so ReduceLROnPlateau can change it between epochs without recompilation.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -79,3 +79,12 @@ def test_cli_denoisesubset(input_tsv, tmp_path):
     main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--denoisesubset", genefile])
     mean = pd.read_csv(os.path.join(outdir, "mean.tsv"), sep="\t", index_col=0)
     assert mean.shape[0] == 5  # only the subset genes, gene x cell
+
+
+def test_cli_hyper_path(input_tsv, tmp_path):
+    """--hyper runs the TPE search and writes trials/best artifacts
+    (reference train.py:120-122 -> hyper.py)."""
+    outdir = str(tmp_path / "out_hyper")
+    main([input_tsv, outdir, "--hyper", "--hypern", "2", "--hyperepoch", "1"])
+    assert os.path.exists(os.path.join(outdir, "hyperopt_results", "best.json"))
+    assert os.path.exists(os.path.join(outdir, "hyperopt_results", "trials.pickle"))
