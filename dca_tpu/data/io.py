@@ -35,11 +35,26 @@ from .adata import AnnData, is_anndata_like, read_h5ad
 
 
 def read_text(path, first_column_names=True) -> AnnData:
-    """Read a delimited text matrix (rows × cols as given in the file)."""
+    """Read a delimited text matrix (rows × cols as given in the file).
+
+    Uses the native parallel parser (dca_tpu/native) when available, with a
+    pandas fallback producing identical results."""
     sep = "\t"
     p = str(path)
     if p.endswith(".csv") or p.endswith(".csv.gz"):
         sep = ","
+
+    from .. import native
+
+    parsed = native.parse_text_matrix(path, sep=sep, first_column_names=first_column_names)
+    if parsed is not None:
+        X, rownames, colnames = parsed
+        obs = pd.DataFrame(
+            index=pd.Index(rownames if rownames is not None else range(X.shape[0])).astype(str)
+        )
+        var = pd.DataFrame(index=pd.Index(colnames).astype(str))
+        return AnnData(X, obs, var)
+
     df = pd.read_csv(path, sep=sep, index_col=0 if first_column_names else None)
     X = df.to_numpy(dtype=np.float32)
     obs = pd.DataFrame(index=pd.Index(df.index.astype(str)))
@@ -259,11 +274,18 @@ def read_genelist(filename):
 
 def write_text_matrix(matrix, filename, rownames=None, colnames=None, transpose=False):
     """Reference io.py:120-129: tab-separated, %.6f, optional transpose that
-    swaps row/col names."""
+    swaps row/col names.  Uses the native parallel formatter when available
+    (byte-identical to the pandas fallback)."""
     matrix = np.asarray(matrix)
     if transpose:
         matrix = matrix.T
         rownames, colnames = colnames, rownames
+
+    if matrix.ndim == 2:
+        from .. import native
+
+        if native.write_matrix(matrix, filename, rownames, colnames, sep="\t"):
+            return
 
     pd.DataFrame(matrix, index=rownames, columns=colnames).to_csv(
         filename,

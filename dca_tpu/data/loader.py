@@ -46,6 +46,17 @@ def lazy_scale_stats(X) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _gather_dense(X, idx) -> np.ndarray:
+    from .. import native
+
+    if sp.issparse(X) and sp.isspmatrix_csr(X) and native.available():
+        return native.densify_rows(X.indptr, X.indices, X.data, idx, X.shape[1])
+    if (
+        isinstance(X, np.ndarray)
+        and X.dtype == np.float32
+        and X.flags.c_contiguous
+        and native.available()
+    ):
+        return native.gather_rows(X, idx)
     rows = X[idx]
     if sp.issparse(rows):
         rows = np.asarray(rows.todense())
