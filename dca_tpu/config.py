@@ -2,6 +2,13 @@
 
 DCA_TPU_FUSED_LOSS: '1' force the fused Pallas NLL kernels, '0' force the
 pure-JAX/XLA path, 'auto' (default) = fused on TPU backends only.
+
+DCA_TPU_FUSED_DENSE: '1' run inference Dense->BN->activation blocks and
+output-head epilogues through the fused Pallas kernel
+(ops/fused_dense.py); '0'/'auto' (default) = plain XLA, which already
+fuses bias/BN/activation into the matmul epilogue on its own — the Pallas
+path exists for explicit control on very wide gene panels and is
+equivalence-tested against the XLA path either way.
 """
 
 from __future__ import annotations
@@ -18,3 +25,7 @@ def use_fused_loss() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def use_fused_dense() -> bool:
+    return os.environ.get("DCA_TPU_FUSED_DENSE", "auto") == "1"

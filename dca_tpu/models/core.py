@@ -52,6 +52,17 @@ BN_MOMENTUM = 0.99
 THETA_EXP_CLIP = (1e-3, 1e4)  # layers.py:21
 
 
+def _fused_dense_enabled() -> bool:
+    from ..config import use_fused_dense
+
+    return use_fused_dense()
+
+
+def _fused_interpret() -> bool:
+    # compiled on TPU, interpreter elsewhere (tests force the path on CPU)
+    return jax.default_backend() != "tpu"
+
+
 @dataclasses.dataclass(frozen=True)
 class LayerDef:
     name: str
@@ -446,6 +457,26 @@ def _apply_stack(
     latent = None
     decoded_preact = None
     new_state = {}
+    if not training and not parametric and _fused_dense_enabled():
+        from ..ops.fused_dense import fused_dense_block, supported_activation
+
+        if supported_activation(activation):
+            for layer in layers:
+                p = params[layer.name]
+                if capture_center and layer.name == "center":
+                    break  # latent needs the pre-BN value; fall through below
+                bn = None
+                if layer.batchnorm:
+                    s = state[layer.name]
+                    bn = (s["moving_mean"], s["moving_var"], p["bn_beta"])
+                x = fused_dense_block(
+                    x, p["kernel"], p["bias"], bn=bn, activation=activation,
+                    interpret=_fused_interpret(),
+                )
+                new_state[layer.name] = dict(state[layer.name])
+            else:
+                return x, latent, new_state
+            layers = layers[len(new_state):]
     for li, layer in enumerate(layers):
         p = params[layer.name]
         x = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
@@ -467,12 +498,24 @@ def _apply_stack(
     return x, latent, new_state
 
 
-def _apply_head(head: HeadDef, p, x):
+_HEAD_EPILOGUES = {"mean": "mean", "disp": "disp", "sigmoid": "sigmoid",
+                   "linear": "linear", "none": "linear"}
+
+
+def _apply_head(head: HeadDef, p, x, fused: bool = False):
     if head.kind == "constant":
         raise AssertionError("constant head handled separately")
     if head.kind == "elementwise":
         z = x * p["kernel"] + p["bias"]  # layers.py:74-78 broadcasting
     else:
+        if fused and head.activation in _HEAD_EPILOGUES:
+            from ..ops.fused_dense import fused_dense_block
+
+            return fused_dense_block(
+                x, p["kernel"], p["bias"],
+                activation=_HEAD_EPILOGUES[head.activation],
+                interpret=_fused_interpret(),
+            )
         z = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
     if head.activation == "mean":
         return MeanAct(z)
@@ -547,6 +590,7 @@ def apply(
 
     heads = definition.heads
     out: Dict[str, Optional[jax.Array]] = {}
+    fused = (not training) and _fused_dense_enabled()
 
     if definition.ae_type == "zinb-elempi":
         # network.py:429-447: z = -Dense(decoder); pi = ElemDense(sigmoid)(z);
@@ -565,11 +609,13 @@ def apply(
         out["pi"] = _apply_head(heads["pi"], params["heads"]["pi"], z)
     else:
         out["mean"] = _apply_head(
-            heads["mean"], params["heads"]["mean"], branch_out[definition.branch_of_head["mean"]]
+            heads["mean"], params["heads"]["mean"],
+            branch_out[definition.branch_of_head["mean"]], fused=fused,
         )
         if "pi" in heads:
             out["pi"] = _apply_head(
-                heads["pi"], params["heads"]["pi"], branch_out[definition.branch_of_head["pi"]]
+                heads["pi"], params["heads"]["pi"],
+                branch_out[definition.branch_of_head["pi"]], fused=fused,
             )
         else:
             out["pi"] = None
@@ -582,6 +628,7 @@ def apply(
                 heads["dispersion"],
                 params["heads"]["dispersion"],
                 branch_out[definition.branch_of_head["dispersion"]],
+                fused=fused,
             )
     else:
         out["disp"] = None
@@ -661,6 +708,7 @@ def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factor
 
     heads = definition.heads
     out: Dict[str, Optional[jax.Array]] = {}
+    fused = _fused_dense_enabled()
     if definition.ae_type == "zinb-elempi":
         z = (
             jnp.dot(
@@ -676,11 +724,11 @@ def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factor
     else:
         out["mean"] = _apply_head(
             heads["mean"], params["heads"]["mean"],
-            branch_out[definition.branch_of_head["mean"]],
+            branch_out[definition.branch_of_head["mean"]], fused=fused,
         )
         out["pi"] = (
             _apply_head(heads["pi"], params["heads"]["pi"],
-                        branch_out[definition.branch_of_head["pi"]])
+                        branch_out[definition.branch_of_head["pi"]], fused=fused)
             if "pi" in heads
             else None
         )
@@ -691,6 +739,7 @@ def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factor
             out["disp"] = _apply_head(
                 heads["dispersion"], params["heads"]["dispersion"],
                 branch_out[definition.branch_of_head["dispersion"]],
+                fused=fused,
             )
     else:
         out["disp"] = None

@@ -43,3 +43,35 @@ def timeit(fn, *args, n=50):
 
 print(f"fwd ms: ref={timeit(ref_fn, mu, th, pi):.3f} fused={timeit(fused_fn, mu, th, pi):.3f}")
 print(f"grad ms: ref={timeit(ref_grad, mu, th, pi):.3f} fused={timeit(fused_grad, mu, th, pi):.3f}")
+
+# ---------------------------------------------------------------------------
+# fused dense block + on-chip densify
+# ---------------------------------------------------------------------------
+
+from dca_tpu.ops.fused_dense import fused_dense_block
+from dca_tpu.ops.densify import densify_csr
+
+K, N = 64, G
+xw = jnp.asarray(rs.normal(size=(B, K)).astype(np.float32))
+w = jnp.asarray((rs.normal(size=(K, N)) * 0.1).astype(np.float32))
+b = jnp.asarray((rs.normal(size=(N,)) * 0.1).astype(np.float32))
+sf = jnp.asarray(rs.uniform(0.5, 2.0, size=(B,)).astype(np.float32))
+
+head_ref = jax.jit(lambda x: jnp.clip(jnp.exp(x @ w + b), 1e-5, 1e6) * sf[:, None])
+head_fused = jax.jit(lambda x: fused_dense_block(x, w, b, activation="mean",
+                                                 size_factors=sf))
+print("compiling fused dense head...", flush=True)
+a = head_ref(xw); c = head_fused(xw)
+err = float(jnp.max(jnp.abs(a - c)) / (float(jnp.max(jnp.abs(a))) + 1e-12))
+print(f"fused dense head: relerr={err:.2e}")
+print(f"head ms: ref={timeit(head_ref, xw):.3f} fused={timeit(head_fused, xw):.3f}")
+
+import scipy.sparse as sp
+m = sp.random(256, G, density=0.1, format="csr",
+              random_state=np.random.RandomState(1),
+              data_rvs=lambda n: np.random.RandomState(2).poisson(3.0, n) + 1.0)
+m.sort_indices()
+print("compiling densify...", flush=True)
+d = np.asarray(densify_csr(m.indptr, m.indices, m.data, G))
+derr = float(np.abs(d - m.toarray()).max())
+print(f"densify on-chip: maxerr={derr:.1e}")

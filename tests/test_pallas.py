@@ -92,3 +92,161 @@ def test_edge_padding_masked():
     ref = float(losses.zinb_nll(y, mu, th, pi))
     got = float(zinb_nll_fused(y, mu, th, pi, 0.0, True))
     assert abs(got - ref) / abs(ref) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# fused dense block (Dense -> BN(center-only) -> act [-> colwise mult])
+# ---------------------------------------------------------------------------
+
+from dca_tpu.ops.fused_dense import fused_dense_block, BN_EPS
+from dca_tpu.ops.activations import MeanAct, DispAct
+
+
+def _dense_inputs(B, K, N, seed=0):
+    rs = np.random.RandomState(seed)
+    x = rs.normal(size=(B, K)).astype(np.float32)
+    w = (rs.normal(size=(K, N)) * 0.1).astype(np.float32)
+    b = rs.normal(size=(N,)).astype(np.float32) * 0.1
+    mm = rs.normal(size=(N,)).astype(np.float32) * 0.1
+    mv = rs.uniform(0.5, 2.0, size=(N,)).astype(np.float32)
+    beta = rs.normal(size=(N,)).astype(np.float32) * 0.1
+    sf = rs.uniform(0.5, 2.0, size=(B,)).astype(np.float32)
+    return x, w, b, (mm, mv, beta), sf
+
+
+def _dense_ref(x, w, b, bn, act_fn, sf=None):
+    z = x @ w + b
+    if bn is not None:
+        mm, mv, beta = bn
+        z = (z - mm) / np.sqrt(mv + BN_EPS) + beta
+    z = np.asarray(act_fn(jnp.asarray(z)))
+    if sf is not None:
+        z = z * sf[:, None]
+    return z
+
+
+@pytest.mark.parametrize("shape", [(16, 64, 128), (33, 200, 70), (8, 513, 300)])
+def test_fused_dense_trunk_block(shape):
+    """Dense -> inference BN -> relu == the reference trunk layer
+    (network.py:124-138) with moving statistics."""
+    B, K, N = shape
+    x, w, b, bn, _ = _dense_inputs(B, K, N)
+    got = np.asarray(fused_dense_block(x, w, b, bn=bn, activation="relu",
+                                       interpret=True))
+    ref = _dense_ref(x, w, b, bn, jax.nn.relu)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_dense_mean_head_with_size_factors():
+    """MeanAct(Dense) * size_factors == head + ColwiseMultLayer
+    (network.py:378-381, layers.py:85)."""
+    B, K, N = 24, 64, 250
+    x, w, b, _, sf = _dense_inputs(B, K, N, seed=2)
+    got = np.asarray(fused_dense_block(x, w, b, activation="mean",
+                                       size_factors=sf, interpret=True))
+    ref = _dense_ref(x, w, b, None, MeanAct, sf)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_dense_disp_and_sigmoid_heads():
+    B, K, N = 17, 32, 130
+    x, w, b, _, _ = _dense_inputs(B, K, N, seed=3)
+    for act, fn in [("disp", DispAct), ("sigmoid", jax.nn.sigmoid)]:
+        got = np.asarray(fused_dense_block(x, w, b, activation=act,
+                                           interpret=True))
+        ref = _dense_ref(x, w, b, None, fn)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6, err_msg=act)
+
+
+def test_fused_dense_multi_k_blocks():
+    """K > block_k exercises the accumulating K loop."""
+    B, K, N = 16, 1500, 96
+    x, w, b, bn, _ = _dense_inputs(B, K, N, seed=4)
+    got = np.asarray(fused_dense_block(x, w, b, bn=bn, activation="relu",
+                                       block_k=256, interpret=True))
+    ref = _dense_ref(x, w, b, bn, jax.nn.relu)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# on-chip CSR densification
+# ---------------------------------------------------------------------------
+
+from dca_tpu.ops.densify import densify_csr, densify_padded
+
+
+def _random_csr(B, G, density, seed=0):
+    import scipy.sparse as sp
+    rs = np.random.RandomState(seed)
+    m = sp.random(B, G, density=density, format="csr", random_state=rs,
+                  data_rvs=lambda n: rs.poisson(3.0, n) + 1.0)
+    m.sort_indices()
+    return m
+
+
+@pytest.mark.parametrize("shape,density", [((32, 300), 0.1), ((13, 513), 0.05),
+                                           ((64, 128), 0.5)])
+def test_densify_csr_matches_scipy(shape, density):
+    B, G = shape
+    m = _random_csr(B, G, density)
+    got = np.asarray(densify_csr(m.indptr, m.indices, m.data, G, interpret=True))
+    np.testing.assert_allclose(got, m.toarray(), rtol=0, atol=0)
+
+
+def test_densify_empty_rows_and_padding():
+    import scipy.sparse as sp
+    B, G = 9, 260
+    m = _random_csr(B, G, 0.1, seed=1)
+    # zero out two rows entirely
+    lil = m.tolil()
+    lil[0] = 0
+    lil[5] = 0
+    m = lil.tocsr()
+    m.eliminate_zeros()
+    m.sort_indices()
+    got = np.asarray(densify_csr(m.indptr, m.indices, m.data, G, interpret=True))
+    np.testing.assert_allclose(got, m.toarray())
+
+
+def test_densify_padded_api():
+    B, G, K = 10, 140, 7
+    rs = np.random.RandomState(3)
+    idx = np.sort(rs.choice(G, size=(B, K), replace=True), axis=1).astype(np.int32)
+    dat = rs.uniform(1, 5, size=(B, K)).astype(np.float32)
+    # emulate padding: mark half of row 0 as padding
+    idx[0, 4:] = G
+    dat[0, 4:] = 0.0
+    ref = np.zeros((B, G), np.float32)
+    for r in range(B):
+        for k in range(K):
+            if idx[r, k] < G:
+                ref[r, idx[r, k]] += dat[r, k]
+    got = np.asarray(densify_padded(idx, dat, G, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("ae_type", ["zinb-conddisp", "nb", "zinb-fork"])
+def test_fused_inference_path_matches_xla(ae_type, monkeypatch):
+    """DCA_TPU_FUSED_DENSE=1 routes inference trunk blocks + head epilogues
+    through the Pallas kernel; outputs must match the XLA path."""
+    from dca_tpu.models import AE_types
+    from dca_tpu.models import core
+
+    net = AE_types[ae_type](input_size=90, hidden_size=(16, 8, 16))
+    net.build()
+    rs = np.random.RandomState(0)
+    x = rs.normal(size=(11, 90)).astype(np.float32)
+    sf = rs.uniform(0.5, 2.0, size=(11,)).astype(np.float32)
+
+    monkeypatch.setenv("DCA_TPU_FUSED_DENSE", "0")
+    ref, _ = core.apply(net.definition, net.params, net.state, x, sf,
+                        training=False)
+    monkeypatch.setenv("DCA_TPU_FUSED_DENSE", "1")
+    got, _ = core.apply(net.definition, net.params, net.state, x, sf,
+                        training=False)
+    for k in ("output", "mean", "disp", "pi", "latent"):
+        if ref[k] is None:
+            assert got[k] is None, k
+            continue
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
