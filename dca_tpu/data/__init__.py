@@ -13,8 +13,12 @@ from .io import (
     write_text_matrix,
     read_pickle,
 )
+from .simulate import simulate_counts, simulation_grid, Simulation
 
 __all__ = [
+    "simulate_counts",
+    "simulation_grid",
+    "Simulation",
     "AnnData",
     "Raw",
     "read_h5ad",

@@ -17,25 +17,16 @@ from dca_tpu import dca
 from dca_tpu.data.adata import AnnData
 
 
-def simulate(n_cells=2000, n_genes=200, seed=42, dropout=0.35):
-    """Two-group ZINB simulation in the spirit of scripts/simulate.R."""
-    rs = np.random.RandomState(seed)
-    n_half = n_cells // 2
-    base = rs.gamma(2.0, 1.0, size=(1, n_genes))
-    de = np.ones((2, n_genes))
-    de_genes = rs.choice(n_genes, n_genes // 4, replace=False)
-    de[0, de_genes[: len(de_genes) // 2]] = 5.0
-    de[1, de_genes[len(de_genes) // 2 :]] = 5.0
-    groups = np.repeat([0, 1], [n_half, n_cells - n_half])
-    depth = rs.lognormal(0.0, 0.3, size=(n_cells, 1))
-    mu = base * de[groups] * depth * 3.0
-    theta = 2.0
-    true_counts = rs.negative_binomial(theta, theta / (theta + mu)).astype(np.float32)
-    drop = rs.uniform(size=true_counts.shape) < dropout
-    noisy = np.where(drop, 0.0, true_counts).astype(np.float32)
-    noisy[:, noisy.sum(0) == 0] += 1.0
-    noisy[noisy.sum(1) == 0, 0] += 1.0
-    return noisy, true_counts, groups
+def simulate(n_cells=2000, n_genes=200, seed=42, dropout_mid=3.0):
+    """Two-group splatter-style simulation (dca_tpu.data.simulate mirrors
+    the reference scripts/simulate.R generator)."""
+    from dca_tpu.data.simulate import simulate_counts
+
+    sim = simulate_counts(
+        n_cells=n_cells, n_genes=n_genes, n_groups=2,
+        dropout_mid=dropout_mid, de_strength=4.0, seed=seed,
+    )
+    return sim.counts, sim.true_counts, sim.groups
 
 
 def silhouette(X, groups):

@@ -1,0 +1,51 @@
+"""Simulation module (dca_tpu/data/simulate.py) — ground-truth contract of
+the reference's scripts/simulate.R generator."""
+
+import numpy as np
+
+from dca_tpu.data.simulate import simulate_counts, simulation_grid, to_anndata
+
+
+def test_shapes_and_ground_truth():
+    sim = simulate_counts(n_cells=300, n_genes=60, n_groups=3, seed=1)
+    assert sim.counts.shape == (300, 60)
+    assert sim.true_counts.shape == (300, 60)
+    assert sim.dropout_mask.shape == (300, 60)
+    assert set(sim.groups) == {0, 1, 2}
+    assert sim.de_factors.shape == (3, 60)
+    # dropped entries are zero in counts but kept in true_counts
+    dropped = sim.dropout_mask & (sim.true_counts > 0)
+    # ensure_nonzero may resurrect a few entries; the vast majority stay 0
+    assert (sim.counts[dropped] == 0).mean() > 0.99
+    assert np.all(sim.counts == np.round(sim.counts))  # integer counts
+
+
+def test_seed_determinism():
+    a = simulate_counts(n_cells=100, n_genes=40, seed=7)
+    b = simulate_counts(n_cells=100, n_genes=40, seed=7)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    c = simulate_counts(n_cells=100, n_genes=40, seed=8)
+    assert not np.array_equal(a.counts, c.counts)
+
+
+def test_dropout_mid_monotonic():
+    """Higher dropout.mid -> more zeros (splatter logistic dropout)."""
+    zeros = [
+        (simulate_counts(500, 100, dropout_mid=m, seed=3).counts == 0).mean()
+        for m in (0.0, 3.0, 5.0)
+    ]
+    assert zeros[0] < zeros[1] < zeros[2], zeros
+
+
+def test_grid_matches_reference_sweep():
+    names = [name for name, _ in simulation_grid(n_cells=20, n_genes=10)]
+    assert len(names) == 16  # 4 dropout mids x 4 group counts
+    assert "sim-drop3-group2" in names
+
+
+def test_to_anndata():
+    sim = simulate_counts(n_cells=50, n_genes=20, n_groups=2, seed=0)
+    ad = to_anndata(sim)
+    assert ad.X.shape == (50, 20)
+    assert "group" in ad.obs.columns
+    assert set(ad.obs["group"]) == {"Group1", "Group2"}
