@@ -1,4 +1,14 @@
 from .activations import MeanAct, DispAct, get_activation, ACTIVATIONS
 from .initializers import get_initializer
 
-__all__ = ["MeanAct", "DispAct", "get_activation", "ACTIVATIONS", "get_initializer"]
+__all__ = [
+    "MeanAct",
+    "DispAct",
+    "get_activation",
+    "ACTIVATIONS",
+    "get_initializer",
+    # Pallas kernels (imported lazily by their users; listed for discovery):
+    # ops.fused_loss.zinb_nll_fused / nb_nll_fused
+    # ops.fused_dense.fused_dense_block
+    # ops.densify.densify_csr / densify_padded
+]
