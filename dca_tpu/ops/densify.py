@@ -3,26 +3,31 @@
 TPU-native replacement for the reference's host-side scipy CSR slicing +
 `.toarray()` batch extraction (/root/reference/dca/io.py:67-68,
 train.py:83): instead of densifying on the host and shipping a dense
-(B, G) f32 block over PCIe/DCN, ship the CSR payload — row-padded
-``(indices, data)`` at O(nnz) bytes — and scatter it into dense tiles in
-VMEM on the chip.  For typical scRNA-seq sparsity (~90% zeros) that cuts
-host->device bytes ~5x; the scatter itself runs at VPU speed.
+(B, G) f32 block over PCIe/DCN, ship the CSR payload at O(nnz) bytes and
+scatter it into dense tiles in VMEM on the chip.  For typical scRNA-seq
+sparsity (~90% zeros) that cuts host->device bytes ~5x; the scatter itself
+runs at VPU speed.
 
-Kernel design (no scatter primitive on the TPU vector unit):
-  * rows are padded to a fixed K = max nnz/row; padded entries carry the
-    out-of-range column id ``n_cols`` so they never match;
-  * grid = (row tiles, column tiles); each step builds its (BM, BN) output
-    tile as  sum_k data[:, k] * (indices[:, k] == column_iota);
-  * CSR column indices are sorted per row, so for each (row-block, column
-    tile) only a contiguous k-range can hit the tile.  Those [lo, hi)
-    bounds are precomputed on the host and prefetched to SMEM; the kernel's
-    fori_loop runs only that subrange, making total work O(B * (nnz + #tiles))
-    instead of O(B * K * #tiles).
+Kernel design.  Mosaic has no scatter primitive and no dynamic
+lane-dimension indexing (a `ref[:, k]` with traced k fails to compile:
+"cannot statically prove that index ... is a multiple of 128"), so the
+layout is arranged on the host such that the kernel needs neither:
+
+  * the host regroups each row's sorted CSR entries by OUTPUT COLUMN TILE
+    into a slab of shape (B, n_tiles * KT), where KT is the max number of
+    entries any (row, tile) pair holds; indices are stored RELATIVE to
+    their tile (padding entries carry the out-of-range id BN);
+  * grid = (row tiles, column tiles); each step loads its (BM, KT) slab
+    block and builds the (BM, BN) output tile as a STATICALLY UNROLLED
+    sum over the KT slab slots:  acc += where(idx[:, k] == lane, data, 0);
+  * total VPU work is O(B * G * KT / BN) ≈ O(B * nnz * slack) — the slab
+    regrouping is what turns the O(nnz) scatter into aligned vector ops.
 
 The host-side batch path stays the default (the native C++ densifier in
-dca_tpu/native handles it at memory bandwidth); this kernel is the on-device
-alternative for transfer-bound pipelines.  Equivalence tests vs scipy:
-tests/test_pallas.py (interpret mode).
+dca_tpu/native handles it at memory bandwidth); this kernel is the
+on-device alternative for transfer-bound pipelines.  Equivalence tests vs
+scipy: tests/test_pallas.py (interpret mode on CPU; compiled on TPU via
+scripts/tpu_smoke.py).
 """
 
 from __future__ import annotations
@@ -33,88 +38,94 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel(bounds_ref, idx_ref, dat_ref, o_ref, *, BM, BN, col_tile):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    lo = bounds_ref[i, j, 0]
-    hi = bounds_ref[i, j, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * col_tile
-
-    def body(k, acc):
-        idx_k = idx_ref[:, pl.ds(k, 1)]  # (BM, 1)
-        dat_k = dat_ref[:, pl.ds(k, 1)]
-        return acc + jnp.where(idx_k == cols, dat_k, 0.0)
-
-    o_ref[:] = jax.lax.fori_loop(lo, hi, body, jnp.zeros((BM, BN), jnp.float32))
+def _kernel(idx_ref, dat_ref, o_ref, *, KT, BM, BN):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
+    acc = jnp.zeros((BM, BN), jnp.float32)
+    for k in range(KT):  # static unroll — no dynamic lane indexing
+        acc = acc + jnp.where(idx_ref[:, k : k + 1] == lanes,
+                              dat_ref[:, k : k + 1], 0.0)
+    o_ref[:] = acc
 
 
-def _pick_tiles(B, K, n_cols):
-    BN = min(_round_up(n_cols, 128), 512)
-    # keep the (BM, K) idx+data blocks under ~4 MB of VMEM
-    budget_rows = max(8, (4 << 20) // max(K * 8, 1))
-    BM = min(_round_up(B, 8), 256, _round_up(min(budget_rows, 256), 8))
-    return BM, BN
+def _build_slabs(indices, data, n_cols, BN):
+    """Regroup row-sorted (indices, data) by output column tile.
+
+    Returns (idx_slab, dat_slab, KT): slabs of shape (B, gj*KT) where tile
+    j's entries for row r sit at [r, j*KT : j*KT + cnt], indices stored
+    tile-relative, padded with BN / 0.
+    """
+    B, K = indices.shape
+    gj = _round_up(n_cols, BN) // BN
+    edges = np.arange(gj + 1, dtype=np.int64) * BN
+    counts = np.empty((B, gj + 1), np.int64)
+    for r in range(B):  # C-speed searchsorted per sorted row
+        counts[r] = np.searchsorted(indices[r], edges, side="left")
+    per_tile = counts[:, 1:] - counts[:, :-1]  # (B, gj)
+    KT = max(int(per_tile.max()) if per_tile.size else 0, 1)
+    # Mosaic block constraint: the slab block's lane dim must be a multiple
+    # of 128 — quantize KT up (padding entries are compare-misses, cheap)
+    KT = _round_up(KT, 128)
+
+    idx_slab = np.full((B, gj * KT), BN, np.int32)
+    dat_slab = np.zeros((B, gj * KT), np.float32)
+    for r in range(B):
+        for j in range(gj):
+            s, e = counts[r, j], counts[r, j + 1]
+            if e > s:
+                idx_slab[r, j * KT : j * KT + (e - s)] = indices[r, s:e] - j * BN
+                dat_slab[r, j * KT : j * KT + (e - s)] = data[r, s:e]
+    return idx_slab, dat_slab, KT, gj
 
 
 def densify_padded(indices, data, n_cols, *, interpret=False):
     """Densify row-padded sparse batches on-chip.
 
     indices: (B, K) int32, column ids sorted ascending per row, padded with
-    ``n_cols`` (any value >= n_cols works); data: (B, K) f32, padded with 0.
+    any value >= n_cols; data: (B, K) f32, padded with 0.
     Returns the dense (B, n_cols) f32 array.
     """
-    indices = np.ascontiguousarray(indices, np.int32)
+    indices = np.ascontiguousarray(indices, np.int64)
     data = np.ascontiguousarray(data, np.float32)
     B, K = indices.shape
     assert data.shape == (B, K)
-    BM, BN = _pick_tiles(B, K, n_cols)
+
+    # (128, 256) tiles: the static unroll keeps several (BM, BN) temporaries
+    # live, and (256, 512) overflowed the 16 MB scoped-VMEM limit on v5e
+    BN = min(_round_up(n_cols, 128), 256)
+    BM = min(_round_up(B, 8), 128)
     Bp = _round_up(B, BM)
-    Gp = _round_up(n_cols, BN)
-    gi, gj = Bp // BM, Gp // BN
 
-    idx_p = np.full((Bp, K), n_cols, np.int32)
-    idx_p[:B] = indices
-    dat_p = np.zeros((Bp, K), np.float32)
-    dat_p[:B] = data
-
-    # per (row-block, column-tile) contiguous k-bounds from the sorted rows:
-    # lo_r(j) = #{k : idx[r,k] < j*BN};   block bound = min/max over its rows
-    edges = np.arange(gj + 1, dtype=np.int64) * BN
-    counts = np.empty((Bp, gj + 1), np.int64)
-    for r in range(Bp):  # C-speed searchsorted per row; ~us each
-        counts[r] = np.searchsorted(idx_p[r], edges, side="left")
-    lo = counts[:, :-1].reshape(gi, BM, gj).min(axis=1)
-    hi = counts[:, 1:].reshape(gi, BM, gj).max(axis=1)
-    bounds = np.stack([lo, hi], axis=-1).astype(np.int32)  # (gi, gj, 2)
+    idx_slab, dat_slab, KT, gj = _build_slabs(indices, data, n_cols, BN)
+    if Bp > B:  # padded rows: all-sentinel slabs
+        idx_slab = np.vstack([idx_slab, np.full((Bp - B, gj * KT), BN, np.int32)])
+        dat_slab = np.vstack([dat_slab, np.zeros((Bp - B, gj * KT), np.float32)])
 
     out = _densify_call(
-        jnp.asarray(bounds), jnp.asarray(idx_p), jnp.asarray(dat_p),
-        BM=BM, BN=BN, gi=gi, gj=gj, K=K, interpret=interpret,
+        jnp.asarray(idx_slab), jnp.asarray(dat_slab),
+        BM=BM, BN=BN, gi=Bp // BM, gj=gj, KT=KT, interpret=interpret,
     )
     return out[:B, :n_cols]
 
 
-@functools.partial(jax.jit, static_argnames=("BM", "BN", "gi", "gj", "K", "interpret"))
-def _densify_call(bounds, idx_p, dat_p, *, BM, BN, gi, gj, K, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("BM", "BN", "gi", "gj", "KT", "interpret")
+)
+def _densify_call(idx_slab, dat_slab, *, BM, BN, gi, gj, KT, interpret):
+    slab_block = pl.BlockSpec((BM, KT), lambda i, j: (i, j))
     return pl.pallas_call(
-        functools.partial(_kernel, BM=BM, BN=BN, col_tile=BN),
+        functools.partial(_kernel, KT=KT, BM=BM, BN=BN),
         grid=(gi, gj),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # bounds
-            pl.BlockSpec((BM, K), lambda i, j: (i, 0)),          # indices
-            pl.BlockSpec((BM, K), lambda i, j: (i, 0)),          # data
-        ],
+        in_specs=[slab_block, slab_block],
         out_specs=pl.BlockSpec((BM, BN), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((gi * BM, gj * BN), jnp.float32),
         interpret=interpret,
-    )(bounds, idx_p, dat_p)
+    )(idx_slab, dat_slab)
 
 
 def densify_csr(indptr, indices, data, n_cols, *, interpret=False):
@@ -123,7 +134,7 @@ def densify_csr(indptr, indices, data, n_cols, *, interpret=False):
     B = len(indptr) - 1
     nnz = np.diff(indptr)
     K = max(int(nnz.max()) if B else 0, 1)
-    idx = np.full((B, K), n_cols, np.int32)
+    idx = np.full((B, K), n_cols, np.int64)
     dat = np.zeros((B, K), np.float32)
     for r in range(B):
         s, e = indptr[r], indptr[r + 1]

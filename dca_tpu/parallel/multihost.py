@@ -77,3 +77,35 @@ def gather_to_host(arr) -> np.ndarray:
 
 def is_primary() -> bool:
     return jax.process_index() == 0
+
+
+def write_sharded(local_rows: np.ndarray, path: str, rownames=None,
+                  colnames=None, transpose: bool = False) -> str:
+    """Emit this process's row shard as ``<path>.part<rank>`` (same %.6f TSV
+    format as the global writers); rank 0 can later ``concat_shards``.
+
+    Avoids gathering a full (cells, genes) matrix on one host for very large
+    predictions — each host writes what it computed."""
+    from ..data.io import write_text_matrix
+
+    part = f"{path}.part{jax.process_index()}"
+    write_text_matrix(np.asarray(local_rows), part, rownames=rownames,
+                      colnames=colnames, transpose=transpose)
+    return part
+
+
+def concat_shards(path: str, n_parts: Optional[int] = None) -> str:
+    """Concatenate ``<path>.part*`` row shards (written by ``write_sharded``
+    with transpose=False) into ``<path>``, keeping the first header only."""
+    n_parts = n_parts if n_parts is not None else jax.process_count()
+    with open(path, "wt") as out:
+        for p in range(n_parts):
+            part = f"{path}.part{p}"
+            with open(part, "rt") as f:
+                header = f.readline()
+                if p == 0:
+                    out.write(header)
+                for line in f:
+                    out.write(line)
+            os.remove(part)
+    return path

@@ -115,3 +115,22 @@ def test_graft_entry_dryrun():
 
     __graft_entry__.dryrun_multichip(8)
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_write_sharded_concat(tmp_path):
+    """Per-host shard writers + rank-0 concatenation (multihost.py)."""
+    import numpy as np
+    from dca_tpu.parallel import multihost
+
+    rows = np.arange(12, dtype=np.float32).reshape(3, 4)
+    path = str(tmp_path / "latent.tsv")
+    part = multihost.write_sharded(
+        rows, path, rownames=[f"c{i}" for i in range(3)],
+        colnames=[f"d{i}" for i in range(4)],
+    )
+    assert part.endswith(".part0")
+    multihost.concat_shards(path, n_parts=1)
+    import pandas as pd
+    df = pd.read_csv(path, sep="\t", index_col=0)
+    np.testing.assert_allclose(df.values, rows, atol=1e-6)
+    assert list(df.index) == ["c0", "c1", "c2"]
