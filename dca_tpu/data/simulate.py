@@ -72,19 +72,28 @@ def simulate_counts(
 
     true_counts = rs.negative_binomial(theta, theta / (theta + mu)).astype(np.float32)
 
-    # splatter logistic dropout on the underlying log-mean
-    logit = dropout_shape * (np.log(mu + 1e-10) - dropout_mid)
-    p_drop = 1.0 / (1.0 + np.exp(-logit))
-    dropout_mask = rs.uniform(size=true_counts.shape) < p_drop
+    # splatter logistic dropout on the underlying log-mean; the reference
+    # grid passes dropout.present=(dropout != 0) (scripts/simulate.R:56-57),
+    # so dropout_mid == 0 means NO dropout layer at all, not a logistic
+    # curve centered at 0
+    if dropout_mid == 0.0:
+        dropout_mask = np.zeros(true_counts.shape, dtype=bool)
+    else:
+        logit = dropout_shape * (np.log(mu + 1e-10) - dropout_mid)
+        p_drop = 1.0 / (1.0 + np.exp(-logit))
+        dropout_mask = rs.uniform(size=true_counts.shape) < p_drop
     counts = np.where(dropout_mask, 0.0, true_counts).astype(np.float32)
 
     if ensure_nonzero:
         # keep every gene/cell trainable (the reference filters these out;
-        # keeping index alignment is simpler for fixtures)
+        # keeping index alignment is simpler for fixtures); clear the mask at
+        # resurrected entries so mask and counts stay consistent
         zero_g = counts.sum(0) == 0
         counts[0, zero_g] = np.maximum(true_counts[0, zero_g], 1.0)
+        dropout_mask[0, zero_g] = False
         zero_c = counts.sum(1) == 0
         counts[zero_c, 0] = np.maximum(true_counts[zero_c, 0], 1.0)
+        dropout_mask[zero_c, 0] = False
 
     return Simulation(
         counts=counts,

@@ -85,7 +85,9 @@ def write_sharded(local_rows: np.ndarray, path: str, rownames=None,
     format as the global writers); rank 0 can later ``concat_shards``.
 
     Avoids gathering a full (cells, genes) matrix on one host for very large
-    predictions — each host writes what it computed."""
+    predictions — each host writes what it computed.  Pass
+    ``has_header=colnames is not None`` to ``concat_shards`` so it knows
+    whether each part leads with a column-name line."""
     from ..data.io import write_text_matrix
 
     part = f"{path}.part{jax.process_index()}"
@@ -94,17 +96,24 @@ def write_sharded(local_rows: np.ndarray, path: str, rownames=None,
     return part
 
 
-def concat_shards(path: str, n_parts: Optional[int] = None) -> str:
+def concat_shards(path: str, n_parts: Optional[int] = None,
+                  has_header: bool = True) -> str:
     """Concatenate ``<path>.part*`` row shards (written by ``write_sharded``
-    with transpose=False) into ``<path>``, keeping the first header only."""
+    with transpose=False) into ``<path>``.
+
+    ``has_header`` must mirror whether ``write_sharded`` was called with
+    colnames: write_text_matrix only emits a header line when colnames is
+    set, so skipping the first line of headerless parts would silently drop
+    one data row per part."""
     n_parts = n_parts if n_parts is not None else jax.process_count()
     with open(path, "wt") as out:
         for p in range(n_parts):
             part = f"{path}.part{p}"
             with open(part, "rt") as f:
-                header = f.readline()
-                if p == 0:
-                    out.write(header)
+                if has_header:
+                    header = f.readline()
+                    if p == 0:
+                        out.write(header)
                 for line in f:
                     out.write(line)
             os.remove(part)

@@ -134,3 +134,22 @@ def test_write_sharded_concat(tmp_path):
     df = pd.read_csv(path, sep="\t", index_col=0)
     np.testing.assert_allclose(df.values, rows, atol=1e-6)
     assert list(df.index) == ["c0", "c1", "c2"]
+
+
+def test_concat_shards_headerless_keeps_all_rows(tmp_path):
+    """write_sharded with colnames=None emits no header line; concat must not
+    eat the first data row of later parts (round-1 advisor finding)."""
+    import pandas as pd
+    from dca_tpu.parallel import multihost
+
+    path = str(tmp_path / "mat.tsv")
+    a = np.arange(8, dtype=np.float32).reshape(2, 4)
+    b = np.arange(8, 16, dtype=np.float32).reshape(2, 4)
+    multihost.write_sharded(a, path)  # -> .part0 (single-process rank 0)
+    # simulate a second host's shard
+    from dca_tpu.data.io import write_text_matrix
+    write_text_matrix(b, path + ".part1")
+    multihost.concat_shards(path, n_parts=2, has_header=False)
+    df = pd.read_csv(path, sep="\t", header=None)
+    assert df.shape == (4, 4)
+    np.testing.assert_allclose(df.values, np.vstack([a, b]), atol=1e-6)

@@ -37,6 +37,21 @@ def test_dropout_mid_monotonic():
     assert zeros[0] < zeros[1] < zeros[2], zeros
 
 
+def test_dropout_mid_zero_means_no_dropout():
+    """The reference grid passes dropout.present=(dropout != 0)
+    (scripts/simulate.R:56-57): the drop0 condition has NO dropout layer."""
+    sim = simulate_counts(500, 100, dropout_mid=0.0, seed=3)
+    assert not sim.dropout_mask.any()
+    np.testing.assert_array_equal(sim.counts, sim.true_counts)
+
+
+def test_ensure_nonzero_keeps_mask_consistent():
+    """Resurrected entries must not stay flagged as dropped."""
+    sim = simulate_counts(400, 80, dropout_mid=5.0, seed=11)
+    # wherever the mask says dropped, the observed count is exactly zero
+    assert (sim.counts[sim.dropout_mask] == 0).all()
+
+
 def test_grid_matches_reference_sweep():
     names = [name for name, _ in simulation_grid(n_cells=20, n_genes=10)]
     assert len(names) == 16  # 4 dropout mids x 4 group counts
