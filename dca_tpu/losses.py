@@ -119,11 +119,17 @@ def nb_nll(
     scale_factor: float = 1.0,
     mean: bool = True,
     sample_weights: Optional[jax.Array] = None,
+    debug: bool = False,
 ):
     """Negative binomial negative log-likelihood (loss.py:60-114).
 
     ``theta`` broadcasts against ``y_pred`` — per-(cell,gene) for conddisp,
     (1, G) for constant dispersion, (B, 1) for shared dispersion.
+
+    ``debug=True`` adds checkify finite-ness asserts on ``y_pred``, ``t1``
+    and ``t2`` — the reference's tf.verify_tensor_all_finite sanitizer
+    (loss.py:90-97); the caller must discharge the checks with
+    jax.experimental.checkify (see train/loop.py).
     """
     eps = EPS
     y_true = jnp.asarray(y_true, jnp.float32)
@@ -137,6 +143,9 @@ def nb_nll(
 
     theta = jnp.minimum(jnp.asarray(theta, jnp.float32), THETA_CLIP)  # loss.py:85
 
+    if debug:
+        _debug_assert_finite(y_pred, "y_pred")  # loss.py:90-91
+
     y_for_terms = _nan2zero(y_true) if sample_weights is not None else y_true
 
     t1 = (
@@ -147,6 +156,10 @@ def nb_nll(
     t2 = (theta + y_for_terms) * jnp.log1p(y_pred / (theta + eps)) + (
         y_for_terms * (jnp.log(theta + eps) - jnp.log(y_pred + eps))
     )  # loss.py:88
+
+    if debug:
+        _debug_assert_finite(t1, "t1")  # loss.py:92-97
+        _debug_assert_finite(t2, "t2")
 
     final = _nan2inf(t1 + t2)  # loss.py:105
 
@@ -171,6 +184,7 @@ def zinb_nll(
     scale_factor: float = 1.0,
     mean: bool = True,
     sample_weights: Optional[jax.Array] = None,
+    debug: bool = False,
 ):
     """Zero-inflated NB negative log-likelihood (loss.py:116-156).
 
@@ -188,6 +202,7 @@ def zinb_nll(
         scale_factor=scale_factor,
         mean=False,
         sample_weights=sample_weights,
+        debug=debug,  # NB.loss carries the asserts (reference loss.py:130)
     )
     pi = jnp.asarray(pi, jnp.float32)
     nb_case = nb_elem - jnp.log(1.0 - pi + eps)  # loss.py:130
@@ -214,70 +229,14 @@ def zinb_nll(
     return result
 
 
-class NB:
-    """Configured NB loss, mirroring the reference class surface (loss.py:60).
+def _debug_assert_finite(x, name):
+    """Numerical sanitizer: the checkify analogue of the reference's
+    tf.verify_tensor_all_finite asserts (loss.py:90-97).  The check is
+    functionalized by jax.experimental.checkify, survives jit/grad/scan,
+    and surfaces as a JaxRuntimeError at the training loop's per-epoch
+    err.throw() (train/loop.py)."""
+    from jax.experimental import checkify
 
-    The reference captures ``theta`` as a graph tensor; here ``theta`` is
-    passed per call (functional style) but the class keeps the masking /
-    scale_factor / debug configuration for API familiarity.
-    """
-
-    def __init__(self, theta=None, masking=False, scale_factor=1.0, debug=False):
-        self.eps = EPS
-        self.scale_factor = scale_factor
-        self.debug = debug
-        self.masking = masking
-        self.theta = theta
-
-    def loss(self, y_true, y_pred, mean=True, theta=None, sample_weights=None):
-        theta = self.theta if theta is None else theta
-        out = nb_nll(
-            y_true,
-            y_pred,
-            theta,
-            masking=self.masking,
-            scale_factor=self.scale_factor,
-            mean=mean,
-            sample_weights=sample_weights,
-        )
-        if self.debug:
-            out = _debug_check(out, "nb_loss")
-        return out
-
-
-class ZINB(NB):
-    """Configured ZINB loss (loss.py:116-156)."""
-
-    def __init__(self, pi=None, ridge_lambda=0.0, **kwargs):
-        super().__init__(**kwargs)
-        self.pi = pi
-        self.ridge_lambda = ridge_lambda
-
-    def loss(self, y_true, y_pred, mean=True, theta=None, pi=None, sample_weights=None):
-        theta = self.theta if theta is None else theta
-        pi = self.pi if pi is None else pi
-        out = zinb_nll(
-            y_true,
-            y_pred,
-            theta,
-            pi,
-            ridge_lambda=self.ridge_lambda,
-            masking=self.masking,
-            scale_factor=self.scale_factor,
-            mean=mean,
-            sample_weights=sample_weights,
-        )
-        if self.debug:
-            out = _debug_check(out, "zinb_loss")
-        return out
-
-
-def _debug_check(x, name):
-    """Numerical sanitizer analogue of tf.verify_tensor_all_finite
-    (loss.py:90-94) — checkify-free variant usable under jit."""
-    return jax.lax.cond(
-        jnp.all(jnp.isfinite(x)),
-        lambda v: v,
-        lambda v: jax.debug.print("dca_tpu DEBUG: {} has inf/nan", name) or v,
-        x,
+    checkify.check(
+        jnp.all(jnp.isfinite(x)), "dca_tpu debug: " + name + " has inf/nan"
     )

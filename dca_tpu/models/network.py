@@ -132,6 +132,7 @@ class Autoencoder:
         fused Pallas kernels when dispersion/pi are full (B, G) tensors —
         the conddisp variants, including the flagship zinb-conddisp."""
         lk = self.definition.likelihood
+        debug = bool(self.definition.debug)
         out = outputs["output"]
         if lk == "mse":
             return losses.mse_loss(target, out, sample_weights=sample_weights)
@@ -141,6 +142,7 @@ class Autoencoder:
         disp = outputs["disp"]
         fused_ok = (
             sample_weights is None
+            and not debug  # the sanitizer asserts live in the pure-JAX path
             and use_fused_loss()
             and hasattr(target, "shape")
             and disp is not None
@@ -151,7 +153,9 @@ class Autoencoder:
                 from ..ops.fused_loss import nb_nll_fused
 
                 return nb_nll_fused(jnp.asarray(target, jnp.float32), out, disp)
-            return losses.nb_nll(target, out, disp, sample_weights=sample_weights)
+            return losses.nb_nll(
+                target, out, disp, sample_weights=sample_weights, debug=debug
+            )
         if lk == "zinb":
             pi = outputs["pi"]
             if fused_ok and pi is not None and tuple(pi.shape) == tuple(out.shape):
@@ -167,6 +171,7 @@ class Autoencoder:
                 pi,
                 ridge_lambda=self.ridge,
                 sample_weights=sample_weights,
+                debug=debug,
             )
         raise AssertionError(lk)
 

@@ -48,6 +48,29 @@ def _densify(X):
     return np.asarray(X, dtype=np.float32)
 
 
+def _checked_jit(fn, debug: bool):
+    """jit, optionally discharging checkify asserts (--debug sanitizer).
+
+    With ``debug`` the loss carries checkify finite-ness checks on
+    y_pred/t1/t2 (losses.py); checkify functionalizes them through
+    grad/scan and this wrapper throws the accumulated error on the host
+    after each device call — the reference's tf.verify_tensor_all_finite
+    behavior (loss.py:90-97): training aborts with the failing tensor's
+    name in the message."""
+    if not debug:
+        return jax.jit(fn)
+    from jax.experimental import checkify
+
+    cfn = jax.jit(checkify.checkify(fn, errors=checkify.user_checks))
+
+    def wrapper(*args):
+        err, out = cfn(*args)
+        err.throw()
+        return out
+
+    return wrapper
+
+
 def _size_factors(adata):
     if "size_factors" in adata.obs:
         return np.asarray(adata.obs["size_factors"], np.float32)
@@ -97,6 +120,10 @@ def train(
     del threads  # XLA owns its own threading; accepted for API compatibility
     assert network.params is not None, "network.build() must be called before train()"
     if checkpoint_every or resume:
+        compiled = False
+    if getattr(network.definition, "debug", False):
+        # the sanitizer throws per-epoch on the host; the whole-fit-as-one-
+        # program path has no per-epoch host hop to throw from
         compiled = False
     if compiled == "auto":
         compiled = jax.default_backend() == "tpu"
@@ -187,6 +214,7 @@ def _train_inner(
         )
 
     loss_fn = network.loss_fn
+    debug = bool(getattr(network.definition, "debug", False))
 
     def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -195,7 +223,6 @@ def _train_inner(
         params, opt_state = opt.update(grads, opt_state, params, lr_arr)
         return params, new_state, opt_state, loss
 
-    @jax.jit
     def epoch_fn(params, state, opt_state, Xd, Td, SFd, batches, lr_arr, rng):
         def body(carry, inp):
             params, state, opt_state = carry
@@ -216,14 +243,13 @@ def _train_inner(
         )
         return params, state, opt_state, losses_seq
 
-    @jax.jit
-    def rem_step_fn(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
-        return _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng)
-
-    @jax.jit
-    def eval_fn(params, state, xb, sfb, tb):
+    def eval_fn_impl(params, state, xb, sfb, tb):
         loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
         return loss
+
+    epoch_fn = _checked_jit(epoch_fn, debug)
+    rem_step_fn = _checked_jit(_step, debug)
+    eval_fn = _checked_jit(eval_fn_impl, debug)
 
     params, state = network.params, network.state
     opt_state = opt.init(params)
@@ -565,6 +591,7 @@ def _train_streaming(
     n_train = split_at
 
     loss_fn = network.loss_fn
+    debug = bool(getattr(network.definition, "debug", False))
 
     def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -573,7 +600,6 @@ def _train_streaming(
         params, opt_state = opt.update(grads, opt_state, params, lr_arr)
         return params, new_state, opt_state, loss
 
-    @jax.jit
     def chunk_fn(params, state, opt_state, Xc, Tc, SFc, lr_arr, rng):
         nb = Xc.shape[0] // bs
 
@@ -594,17 +620,19 @@ def _train_streaming(
         )
         return params, state, opt_state, jnp.sum(losses_seq) * bs
 
-    @jax.jit
     def rem_fn(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
         params, state, opt_state, loss = _step(
             params, state, opt_state, xb, tb, sfb, lr_arr, rng
         )
         return params, state, opt_state, loss * xb.shape[0]
 
-    @jax.jit
-    def eval_chunk(params, state, xb, sfb, tb):
+    def eval_chunk_impl(params, state, xb, sfb, tb):
         loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
         return loss * xb.shape[0]
+
+    chunk_fn = _checked_jit(chunk_fn, debug)
+    rem_fn = _checked_jit(rem_fn, debug)
+    eval_chunk = _checked_jit(eval_chunk_impl, debug)
 
     params, state = network.params, network.state
     opt_state = opt.init(params)

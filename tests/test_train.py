@@ -110,3 +110,36 @@ def test_optimizer_variants(prepped):
             prepped, net, epochs=2, optimizer=name, verbose=False, seed=0
         )
         assert np.isfinite(hist.history["loss"]).all(), name
+
+
+def test_debug_sanitizer_detects_nonfinite(prepped):
+    """--debug: checkify asserts on y_pred/t1/t2 (reference loss.py:90-97
+    verify_tensor_all_finite) abort training with the tensor's name."""
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    net = _net("zinb-conddisp", debug=True)
+    # poison the mean head: exp(NaN) -> NaN y_pred on the first step
+    bias = net.params["heads"]["mean"]["bias"]
+    net.params["heads"]["mean"]["bias"] = bias.at[0].set(jnp.nan)
+    with pytest.raises(checkify.JaxRuntimeError, match="y_pred"):
+        train(prepped, net, epochs=1, verbose=False, seed=0)
+
+
+def test_debug_sanitizer_clean_run_passes(prepped):
+    """debug=True on healthy data trains normally (checks all pass)."""
+    net = _net("nb-conddisp", debug=True)
+    hist = train(prepped, net, epochs=2, verbose=False, seed=0)
+    assert np.isfinite(hist.history["loss"]).all()
+
+
+def test_no_debug_no_raise_on_nonfinite(prepped):
+    """Without --debug a poisoned model must not abort (reference parity:
+    asserts exist only in debug mode)."""
+    import jax.numpy as jnp
+
+    net = _net("zinb-conddisp", debug=False)
+    bias = net.params["heads"]["mean"]["bias"]
+    net.params["heads"]["mean"]["bias"] = bias.at[0].set(jnp.nan)
+    hist = train(prepped, net, epochs=1, verbose=False, seed=0)
+    assert len(hist.history["loss"]) == 1
