@@ -256,6 +256,11 @@ class Autoencoder:
             adata.obsm["X_dca"] = out["latent"]
         if mode in ("denoise", "full"):
             print("dca_tpu: Calculating reconstructions...")
+            # capture the unscaled mean of the MODEL INPUT here, before
+            # denoising overwrites X — the reference's extra_models
+            # ['mean_norm'] semantics (network.py:150-156); write() emits it
+            # as mean_norm.tsv
+            adata.obsm["X_dca_mean_norm"] = out["mean_norm"]
             self._set_denoised(adata, out["output"])
         if mode == "latent":
             adata.X = adata.raw.X.copy()  # network.py:208-209
@@ -355,9 +360,16 @@ class Autoencoder:
                 colnames=colnames,
                 transpose=True,  # gene × cell on disk (network.py:223-225)
             )
-            out = self.forward(_input_matrix_for_info(adata), self._sf_of(adata))
+            # unscaled mean of the model INPUT, captured at predict time
+            # (reference network.py:150-156); only re-forward as a fallback
+            # when write() is called without a prior predict — at that point
+            # adata.X still is the input
+            if "X_dca_mean_norm" in adata.obsm:
+                mean_norm = adata.obsm["X_dca_mean_norm"]
+            else:
+                mean_norm = self.forward(adata.X, self._sf_of(adata))["mean_norm"]
             write_text_matrix(
-                out["mean_norm"],
+                mean_norm,
                 os.path.join(file_path, "mean_norm.tsv"),
                 rownames=rownames,
                 colnames=colnames,
@@ -373,12 +385,6 @@ class Autoencoder:
                     rownames=rownames,
                     transpose=False,
                 )
-
-
-def _input_matrix_for_info(adata):
-    """The matrix extra heads see at write time: current adata.X when shapes
-    align (reference feeds adata.X, network.py:400-401)."""
-    return adata.X
 
 
 # ---------------------------------------------------------------------------

@@ -96,3 +96,36 @@ def test_fork_types_end_to_end(adata):
     for ae_type in ("nb-fork", "zinb-fork", "nb-shared", "zinb-shared", "poisson"):
         ret = dca(adata, ae_type=ae_type, copy=True, epochs=EPOCHS, verbose=False)
         assert ret.X.shape == adata.shape
+
+
+def test_nb_conddisp_dispersion_from_denoised_matrix(adata):
+    """Predict-order quirk pin (reference network.py:318-328): the NB
+    conddisp family computes return_info dispersion AFTER denoising, i.e.
+    by forwarding the DENOISED matrix — unlike the ZINB family, which
+    captures info from the input first (network.py:395-405)."""
+    net = dca(adata, ae_type="nb-conddisp", epochs=2, copy=False,
+              return_model=True, return_info=True)
+    denoised = np.asarray(adata.X)
+    sf = np.asarray(adata.obs["size_factors"], np.float32)
+    expected = net.forward(denoised, sf)["disp"]
+    np.testing.assert_allclose(
+        adata.obsm["X_dca_dispersion"], expected, rtol=1e-5
+    )
+
+
+def test_zinb_conddisp_info_from_input_matrix(adata):
+    """ZINB predict-order quirk: dispersion/dropout computed from the INPUT
+    matrix before denoise overwrites it (reference network.py:399-401)."""
+    raw = adata.copy()
+    net = dca(adata, ae_type="zinb-conddisp", epochs=2, copy=False,
+              return_model=True, return_info=True)
+    # re-create the preprocessed input the model saw
+    from dca_tpu.data.io import read_dataset, normalize
+    pre = normalize(read_dataset(raw, copy=True), filter_min_counts=False)
+    sf = np.asarray(pre.obs["size_factors"], np.float32)
+    out = net.forward(np.asarray(pre.X), sf)
+    np.testing.assert_allclose(adata.obsm["X_dca_dispersion"], out["disp"], rtol=1e-5)
+    np.testing.assert_allclose(adata.obsm["X_dca_dropout"], out["pi"], rtol=1e-5)
+    # and they differ from what the denoised matrix would give
+    out_post = net.forward(np.asarray(adata.X), sf)
+    assert not np.allclose(adata.obsm["X_dca_dispersion"], out_post["disp"], rtol=1e-3)

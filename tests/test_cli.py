@@ -55,6 +55,20 @@ def test_cli_end_to_end(input_tsv, tmp_path):
                          header=None)
     assert latent.shape == (60, 8)
 
+    # mean_norm.tsv is the UNSCALED mean of the model input captured at
+    # predict time (reference network.py:150-156): mean_norm * size_factor
+    # == mean per cell, even though write() runs after denoise replaced X
+    mean_norm = pd.read_csv(os.path.join(outdir, "mean_norm.tsv"), sep="\t",
+                            index_col=0)
+    ratio = mean.to_numpy() / mean_norm.to_numpy()  # gene x cell: per-column sf
+    counts = pd.read_csv(input_tsv, sep="\t", index_col=0).to_numpy()  # gene x cell
+    n_counts = counts.sum(axis=0)
+    sf = n_counts / np.median(n_counts)
+    np.testing.assert_allclose(
+        ratio, np.broadcast_to(sf[None, :], ratio.shape), rtol=1e-3
+    )
+    assert sf.std() > 1e-3  # size factors genuinely vary
+
 
 def test_cli_nb_type(input_tsv, tmp_path):
     outdir = str(tmp_path / "out_nb")
