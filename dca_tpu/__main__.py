@@ -135,6 +135,18 @@ def parse_args(argv=None):
                         help="Perform denoising only for the subset of genes "
                         "in the given file. Gene names should be line separated.")
 
+    # distributed flags (rebuild extensions — the reference is single-device)
+    parser.add_argument("--devices", dest="devices", type=str, default=None,
+                        help="Train over a jax device mesh: 'all' for every "
+                        "visible device or an integer count (default: single "
+                        "device). Cells are sharded data-parallel across the "
+                        "mesh; loss matches single-device training.")
+    parser.add_argument("--modelparallel", dest="modelparallel", type=int, default=1,
+                        help="Width of the model axis of the device mesh: shard "
+                        "the gene dimension of the input/head weight matrices "
+                        "over this many devices (default: 1, pure data "
+                        "parallelism). Requires --devices.")
+
     parser.set_defaults(
         transpose=False,
         testsplit=False,

@@ -49,9 +49,17 @@ def dca(
     return_info=False,
     copy=False,
     check_counts=True,
+    devices=None,
+    model_parallel=1,
 ):
     """Deep count autoencoder — TPU-native. See reference api.py:46-144 for
-    the full parameter/return documentation; the contract is identical."""
+    the full parameter/return documentation; the contract is identical.
+
+    ``devices``/``model_parallel`` are rebuild extensions: train over a
+    ('data','model') jax device mesh — ``devices='all'``, an int, or an
+    explicit device list; ``model_parallel=M`` additionally shards the gene
+    dimension over M devices.  Loss trajectories match single-device
+    training up to float reduction order (tests/test_parallel.py)."""
     assert is_anndata_like(adata), "adata must be an AnnData instance"
     assert mode in ("denoise", "latent"), "%s is not a valid mode." % mode
 
@@ -93,7 +101,9 @@ def dca(
     net.build()
 
     training_kwds = {
-        **training_kwds,
+        "devices": devices,
+        "model_parallel": model_parallel,
+        **training_kwds,  # may override the mesh args
         "epochs": epochs,
         "reduce_lr": reduce_lr,
         "early_stop": early_stop,

@@ -39,6 +39,25 @@ def _densify(X):
     return np.asarray(X, dtype=np.float32)
 
 
+def _gathered_numpy(v):
+    """numpy copy of a forward output; multi-host shards are all-gathered
+    over ICI first (parallel/multihost.gather_to_host) so every process sees
+    the full matrix for the TSV/obsm contract."""
+    if v is None:
+        return None
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from ..parallel.multihost import gather_to_host
+
+        return gather_to_host(v)
+    return np.asarray(v)
+
+
+def _is_writer() -> bool:
+    """Rank-0 guard for the global TSV writers (multi-host runs write once;
+    reference is single-process so this is always True there)."""
+    return jax.process_index() == 0
+
+
 class Autoencoder:
     """MSE autoencoder ('normal'); base class for the zoo (network.py:43-231)."""
 
@@ -86,6 +105,7 @@ class Autoencoder:
         self.params = None
         self.state = None
         self._predict_jit = None
+        self._mesh = None  # set by train(devices=...); used to gather predict outputs
 
     # ------------------------------------------------------------------
     # construction
@@ -206,7 +226,7 @@ class Autoencoder:
 
             self._predict_jit = _fwd
         out = self._predict_jit(self.params, self.state, count, size_factors)
-        return {k: (np.asarray(v) if v is not None else None) for k, v in out.items()}
+        return {k: _gathered_numpy(v) for k, v in out.items()}
 
     def get_encoder(self):
         """Callable (count, size_factors) -> latent, mirroring network.py:179-186."""
@@ -342,6 +362,8 @@ class Autoencoder:
     # ------------------------------------------------------------------
     def write(self, adata, file_path, mode="denoise", colnames=None):
         """network.py:213-231 + alias names (README.md:37-41)."""
+        if not _is_writer():
+            return
         colnames = adata.var_names.values if colnames is None else colnames
         rownames = adata.obs_names.values
 
@@ -414,6 +436,8 @@ class NBConstantDispAutoencoder(Autoencoder):
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
+        if not _is_writer():
+            return
         colnames = adata.var_names.values if colnames is None else colnames
         super().write(adata, file_path, mode, colnames=colnames)
         if "X_dca_dispersion" in adata.var_keys():  # network.py:287-290
@@ -441,6 +465,8 @@ class NBAutoencoder(Autoencoder):
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
+        if not _is_writer():
+            return
         colnames = adata.var_names.values if colnames is None else colnames
         super().write(adata, file_path, mode, colnames=colnames)
         if "X_dca_dispersion" in adata.obsm_keys():  # network.py:336-339
@@ -485,6 +511,8 @@ class ZINBAutoencoder(Autoencoder):
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
+        if not _is_writer():
+            return
         colnames = adata.var_names.values if colnames is None else colnames
         super().write(adata, file_path, mode, colnames=colnames)
         if "X_dca_dispersion" in adata.obsm_keys():
@@ -555,6 +583,8 @@ class ZINBConstantDispAutoencoder(Autoencoder):
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
+        if not _is_writer():
+            return
         colnames = adata.var_names.values if colnames is None else colnames
         super().write(adata, file_path, mode)
         if "X_dca_dispersion" in adata.var_keys():

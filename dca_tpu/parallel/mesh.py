@@ -38,6 +38,28 @@ def make_mesh(devices=None, data: int = -1, model: int = 1) -> Mesh:
     return Mesh(dev_array, ("data", "model"))
 
 
+def resolve_mesh(devices, model_parallel: int = 1):
+    """Normalize the user-facing ``devices`` argument of train()/dca()/CLI
+    into a ('data','model') Mesh.
+
+    devices: None -> no mesh (single-device path); 'all'/True -> every
+    visible device; int N -> the first N devices; or an explicit device
+    list.  model_parallel M splits the gene dimension over a model axis of
+    size M (the remaining devices form the data axis)."""
+    if devices is None and model_parallel <= 1:
+        return None
+    if devices is None or devices is True or devices == "all":
+        devices = jax.devices()
+    elif isinstance(devices, int):
+        avail = jax.devices()
+        assert devices <= len(avail), (
+            f"requested {devices} devices, only {len(avail)} visible"
+        )
+        devices = avail[:devices]
+    devices = list(devices)
+    return make_mesh(devices, model=max(int(model_parallel), 1))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -21,11 +21,22 @@ from .mesh import batch_sharding, batch_vector_sharding, param_sharding, replica
 def shard_train_data(mesh: Mesh, X, target, sf):
     """Place host arrays on the mesh: cells over 'data', genes replicated.
 
+    jax.device_put needs the sharded dimension to divide evenly; when the
+    row count doesn't divide the data axis the array is placed replicated —
+    compute still runs data-parallel because the per-batch
+    with_sharding_constraint (loop._batch_constrainer) re-shards every
+    minibatch, GSPMD padding included.
+
     For multi-host, replace jax.device_put with
     jax.make_array_from_process_local_data over per-host shards.
     """
-    bsh = batch_sharding(mesh)
-    vsh = batch_vector_sharding(mesh)
+    n_data = mesh.shape["data"]
+    bsh = batch_sharding(mesh) if X.shape[0] % n_data == 0 else replicated(mesh)
+    vsh = (
+        batch_vector_sharding(mesh)
+        if len(sf) % n_data == 0
+        else replicated(mesh)
+    )
     return (
         jax.device_put(X, bsh),
         jax.device_put(target, bsh),
@@ -73,30 +84,14 @@ def make_sharded_train_step(network, opt, mesh: Mesh, donate: bool = True):
     return step_fn, place_state
 
 
-def make_sharded_epoch(network, opt, mesh: Mesh):
-    """Compile a whole epoch (lax.scan over minibatch index rows) over the
-    mesh — the multi-chip analogue of loop.epoch_fn."""
-    loss_fn = network.loss_fn
-
-    @jax.jit
-    def epoch_fn(params, state, opt_state, Xd, Td, SFd, batches, lr, rng):
-        def body(carry, inp):
-            params, state, opt_state = carry
-            idx, step_i = inp
-            xb = jnp.take(Xd, idx, axis=0)
-            tb = jnp.take(Td, idx, axis=0)
-            sfb = jnp.take(SFd, idx, axis=0)
-            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, state, xb, sfb, tb, True, jax.random.fold_in(rng, step_i)
-            )
-            params, opt_state = opt.update(grads, opt_state, params, lr)
-            return (params, new_state, opt_state), loss
-
-        (params, state, opt_state), losses_seq = jax.lax.scan(
-            body,
-            (params, state, opt_state),
-            (batches, jnp.arange(batches.shape[0], dtype=jnp.int32)),
-        )
-        return params, state, opt_state, losses_seq
-
-    return epoch_fn
+def place_train_state(network, mesh: Mesh, params, state, opt_state):
+    """Pin a (params, state, opt_state) triple to its mesh layout: gene-dim
+    tensors over 'model' (mesh.param_sharding), BN statistics replicated.
+    Used by the train() mesh path (train/loop.py)."""
+    p_sh = param_sharding(params, network.definition, mesh)
+    o_sh = param_sharding(opt_state, network.definition, mesh)
+    r_sh = replicated(mesh)
+    params = jax.device_put(params, p_sh)
+    state = jax.device_put(state, jax.tree_util.tree_map(lambda _: r_sh, state))
+    opt_state = jax.device_put(opt_state, o_sh)
+    return params, state, opt_state

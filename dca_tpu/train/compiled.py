@@ -35,11 +35,19 @@ def build_fit_fn(
     reduce_lr: int,
     early_stop: int,
     track_best: bool,
+    mesh=None,
 ):
     """Returns a jittable fit(params, state, opt_state, Xtr, Ttr, SFtr,
     Xval, Tval, SFval, lr0, rng) -> (params, state, best_params, best_state,
-    loss_hist, val_hist, lr_hist, epochs_run)."""
+    loss_hist, val_hist, lr_hist, epochs_run).
+
+    With ``mesh`` the minibatches are pinned to the ('data','model') batch
+    layout so the multi-epoch program partitions data-parallel instead of
+    replicating gathered batches (see loop._batch_constrainer)."""
+    from .loop import _batch_constrainer
+
     loss_fn = network.loss_fn
+    constrain_batch = _batch_constrainer(mesh)
     bs = min(batch_size, max(n_train, 1))
     n_full = n_train // bs
     rem = n_train - n_full * bs
@@ -70,9 +78,11 @@ def build_fit_fn(
                 def body(c, inp):
                     params, state, opt_state = c
                     idx, step_i = inp
-                    xb = jnp.take(Xtr, idx, axis=0)
-                    tb = jnp.take(Ttr, idx, axis=0)
-                    sfb = jnp.take(SFtr, idx, axis=0)
+                    xb, tb, sfb = constrain_batch(
+                        jnp.take(Xtr, idx, axis=0),
+                        jnp.take(Ttr, idx, axis=0),
+                        jnp.take(SFtr, idx, axis=0),
+                    )
                     params, state, opt_state, loss = one_step(
                         params, state, opt_state, xb, tb, sfb, lr,
                         jax.random.fold_in(epoch_rng, step_i),
@@ -87,9 +97,11 @@ def build_fit_fn(
                 total = total + jnp.sum(losses_seq) * bs
             if rem > 0:
                 idx = perm[n_full * bs :]
-                xb = jnp.take(Xtr, idx, axis=0)
-                tb = jnp.take(Ttr, idx, axis=0)
-                sfb = jnp.take(SFtr, idx, axis=0)
+                xb, tb, sfb = constrain_batch(
+                    jnp.take(Xtr, idx, axis=0),
+                    jnp.take(Ttr, idx, axis=0),
+                    jnp.take(SFtr, idx, axis=0),
+                )
                 params, state, opt_state, loss = one_step(
                     params, state, opt_state, xb, tb, sfb, lr,
                     jax.random.fold_in(epoch_rng, n_full),

@@ -71,6 +71,29 @@ def _checked_jit(fn, debug: bool):
     return wrapper
 
 
+def _batch_constrainer(mesh):
+    """Returns a fn pinning a gathered (xb, tb, sfb) minibatch to the mesh's
+    batch layout (cells over 'data').  Without the constraint GSPMD is free
+    to replicate the post-gather batch on every device, turning the
+    data-parallel step into redundant work; with it the per-epoch reshuffle
+    gather lowers to an all-to-all over ICI and each device keeps 1/N of the
+    batch."""
+    if mesh is None:
+        return lambda xb, tb, sfb: (xb, tb, sfb)
+    from ..parallel.mesh import batch_sharding, batch_vector_sharding
+
+    bsh, vsh = batch_sharding(mesh), batch_vector_sharding(mesh)
+
+    def constrain(xb, tb, sfb):
+        return (
+            jax.lax.with_sharding_constraint(xb, bsh),
+            jax.lax.with_sharding_constraint(tb, bsh),
+            jax.lax.with_sharding_constraint(sfb, vsh),
+        )
+
+    return constrain
+
+
 def _size_factors(adata):
     if "size_factors" in adata.obs:
         return np.asarray(adata.obs["size_factors"], np.float32)
@@ -100,6 +123,8 @@ def train(
     checkpoint_every=0,
     resume=False,
     max_device_cells=None,
+    devices=None,
+    model_parallel=1,
     **kwds,
 ):
     """Reference-compatible ``train`` (train.py:35-100). Returns History.
@@ -107,6 +132,15 @@ def train(
     ``compiled='auto'`` runs the ENTIRE fit (epochs + callbacks) as one XLA
     program on TPU backends (see compiled.py) and falls back to the
     Python-epoch loop elsewhere; pass True/False to force.
+
+    ``devices``/``model_parallel`` (rebuild extensions — the reference is
+    single-device, SURVEY.md §2.10): train over a ('data','model') device
+    mesh.  ``devices`` is 'all', an int, or an explicit device list; cells
+    shard over the data axis, the gene dimension of the input kernel and the
+    output heads shards over a model axis of size ``model_parallel``.  The
+    step stays ONE compiled program; XLA/GSPMD inserts the psum/all-gather
+    collectives implied by the shardings, so loss and parameter trajectories
+    match single-device training up to float reduction order.
 
     ``checkpoint_every=N`` saves the FULL train state (params, BN state,
     optimizer accumulators, lr, callback counters) every N epochs under
@@ -134,6 +168,12 @@ def train(
     opt = get_optimizer(optimizer, clipvalue=clip_grad)
     lr = float(learning_rate) if learning_rate is not None else opt.default_lr
 
+    from ..parallel.mesh import resolve_mesh
+
+    mesh = resolve_mesh(devices, model_parallel)
+    if mesh is not None:
+        network._mesh = mesh  # predict/write gather through the same mesh
+
     # ----- streaming path for larger-than-device datasets -----
     n_cells, n_genes = adata.n_obs, adata.n_vars
     est_bytes = n_cells * n_genes * 4 * 2  # input + target, f32
@@ -147,7 +187,7 @@ def train(
             early_stop=early_stop, batch_size=batch_size,
             validation_split=validation_split, use_raw_as_output=use_raw_as_output,
             output_subset=output_subset, seed=seed, verbose=verbose,
-            max_device_cells=max_device_cells or 131072,
+            max_device_cells=max_device_cells or 131072, mesh=mesh,
         )
 
     # ----- assemble host arrays (train.py:83-89) -----
@@ -172,13 +212,20 @@ def train(
     n_full = n_train // bs
     rem = n_train - n_full * bs
 
-    dev_Xtr, dev_Ttr, dev_sftr = jnp.asarray(X_tr), jnp.asarray(T_tr), jnp.asarray(sf_tr)
-    if has_val:
-        dev_Xval, dev_Tval, dev_sfval = (
-            jnp.asarray(X_val),
-            jnp.asarray(T_val),
-            jnp.asarray(sf_val),
-        )
+    if mesh is not None:
+        from ..parallel.step import shard_train_data
+
+        dev_Xtr, dev_Ttr, dev_sftr = shard_train_data(mesh, X_tr, T_tr, sf_tr)
+        if has_val:
+            dev_Xval, dev_Tval, dev_sfval = shard_train_data(mesh, X_val, T_val, sf_val)
+    else:
+        dev_Xtr, dev_Ttr, dev_sftr = jnp.asarray(X_tr), jnp.asarray(T_tr), jnp.asarray(sf_tr)
+        if has_val:
+            dev_Xval, dev_Tval, dev_sfval = (
+                jnp.asarray(X_val),
+                jnp.asarray(T_val),
+                jnp.asarray(sf_val),
+            )
 
     if tensorboard and output_dir is not None:
         jax.profiler.start_trace(os.path.join(output_dir, "tb"))
@@ -189,7 +236,7 @@ def train(
             output_dir, seed, verbose, compiled, checkpoint_every, resume,
             dev_Xtr, dev_Ttr, dev_sftr,
             (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
-            n_train, bs, n_full, rem, has_val,
+            n_train, bs, n_full, rem, has_val, mesh,
         )
     finally:
         if tensorboard and output_dir is not None:
@@ -200,6 +247,7 @@ def _train_inner(
     network, opt, lr, epochs, reduce_lr, early_stop, save_weights, output_dir,
     seed, verbose, compiled, checkpoint_every, resume,
     dev_Xtr, dev_Ttr, dev_sftr, val, n_train, bs, n_full, rem, has_val,
+    mesh=None,
 ):
     if has_val:
         dev_Xval, dev_Tval, dev_sfval = val
@@ -210,11 +258,12 @@ def _train_inner(
             (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
             n_train=n_train, batch_size=bs, epochs=epochs, reduce_lr=reduce_lr,
             early_stop=early_stop, save_weights=save_weights,
-            output_dir=output_dir, seed=seed, verbose=verbose,
+            output_dir=output_dir, seed=seed, verbose=verbose, mesh=mesh,
         )
 
     loss_fn = network.loss_fn
     debug = bool(getattr(network.definition, "debug", False))
+    constrain_batch = _batch_constrainer(mesh)
 
     def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -227,9 +276,11 @@ def _train_inner(
         def body(carry, inp):
             params, state, opt_state = carry
             idx, step_i = inp
-            xb = jnp.take(Xd, idx, axis=0)
-            tb = jnp.take(Td, idx, axis=0)
-            sfb = jnp.take(SFd, idx, axis=0)
+            xb, tb, sfb = constrain_batch(
+                jnp.take(Xd, idx, axis=0),
+                jnp.take(Td, idx, axis=0),
+                jnp.take(SFd, idx, axis=0),
+            )
             step_rng = jax.random.fold_in(rng, step_i)
             params, state, opt_state, loss = _step(
                 params, state, opt_state, xb, tb, sfb, lr_arr, step_rng
@@ -253,6 +304,12 @@ def _train_inner(
 
     params, state = network.params, network.state
     opt_state = opt.init(params)
+    if mesh is not None:
+        from ..parallel.step import place_train_state
+
+        params, state, opt_state = place_train_state(
+            network, mesh, params, state, opt_state
+        )
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
@@ -464,6 +521,10 @@ def train_with_args(args):
     net.save()
     net.build()
 
+    devices = getattr(args, "devices", None)
+    if devices is not None and devices != "all":
+        devices = int(devices)
+
     train(
         adata[adata.obs.dca_split == "train"],
         net,
@@ -478,6 +539,8 @@ def train_with_args(args):
         clip_grad=args.gradclip,
         save_weights=args.saveweights,
         tensorboard=args.tensorboard,
+        devices=devices,
+        model_parallel=getattr(args, "modelparallel", 1),
     )
 
     if genelist:
@@ -493,9 +556,10 @@ def train_with_args(args):
 
 def _train_compiled(
     network, opt, lr, Xtr, Ttr, SFtr, val, *, n_train, batch_size, epochs,
-    reduce_lr, early_stop, save_weights, output_dir, seed, verbose,
+    reduce_lr, early_stop, save_weights, output_dir, seed, verbose, mesh=None,
 ):
-    """One-device-call fit (see compiled.py)."""
+    """One-device-call fit (see compiled.py); with a mesh the whole
+    multi-epoch program is GSPMD-partitioned over it."""
     from .compiled import build_fit_fn
 
     has_val = val is not None
@@ -511,6 +575,7 @@ def _train_compiled(
             reduce_lr=reduce_lr,
             early_stop=early_stop,
             track_best=track_best,
+            mesh=mesh,
         )
     )
     if has_val:
@@ -521,9 +586,16 @@ def _train_compiled(
         Tval = jnp.zeros((1, Ttr.shape[1]), jnp.float32)
         SFval = jnp.ones((1,), jnp.float32)
 
-    opt_state = opt.init(network.params)
+    params0, state0 = network.params, network.state
+    opt_state = opt.init(params0)
+    if mesh is not None:
+        from ..parallel.step import place_train_state
+
+        params0, state0, opt_state = place_train_state(
+            network, mesh, params0, state0, opt_state
+        )
     (params, state, best_params, best_state, loss_h, val_h, lr_h, epochs_run) = fit(
-        network.params, network.state, opt_state, Xtr, Ttr, SFtr,
+        params0, state0, opt_state, Xtr, Ttr, SFtr,
         Xval, Tval, SFval, jnp.float32(lr), jax.random.PRNGKey(seed),
     )
     n_run = int(epochs_run)
@@ -556,7 +628,7 @@ def _train_compiled(
 def _train_streaming(
     adata, network, opt, lr, *, epochs, reduce_lr, early_stop, batch_size,
     validation_split, use_raw_as_output, output_subset, seed, verbose,
-    max_device_cells,
+    max_device_cells, mesh=None,
 ):
     """Chunked training for datasets too large to stage on device whole
     (data/loader.py).  The count matrix stays sparse on the host; shuffled
@@ -592,6 +664,7 @@ def _train_streaming(
 
     loss_fn = network.loss_fn
     debug = bool(getattr(network.definition, "debug", False))
+    constrain_batch = _batch_constrainer(mesh)
 
     def _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng):
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -606,9 +679,11 @@ def _train_streaming(
         def body(carry, step_i):
             params, state, opt_state = carry
             lo = step_i * bs
-            xb = jax.lax.dynamic_slice_in_dim(Xc, lo, bs, 0)
-            tb = jax.lax.dynamic_slice_in_dim(Tc, lo, bs, 0)
-            sfb = jax.lax.dynamic_slice_in_dim(SFc, lo, bs, 0)
+            xb, tb, sfb = constrain_batch(
+                jax.lax.dynamic_slice_in_dim(Xc, lo, bs, 0),
+                jax.lax.dynamic_slice_in_dim(Tc, lo, bs, 0),
+                jax.lax.dynamic_slice_in_dim(SFc, lo, bs, 0),
+            )
             params, state, opt_state, loss = _step(
                 params, state, opt_state, xb, tb, sfb, lr_arr,
                 jax.random.fold_in(rng, step_i),
@@ -636,6 +711,20 @@ def _train_streaming(
 
     params, state = network.params, network.state
     opt_state = opt.init(params)
+    if mesh is not None:
+        from ..parallel.step import place_train_state, shard_train_data as _shard
+
+        params, state, opt_state = place_train_state(
+            network, mesh, params, state, opt_state
+        )
+
+        def _stage(xc, tc, sfc):
+            return _shard(mesh, np.asarray(xc, np.float32),
+                          np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
+    else:
+        def _stage(xc, tc, sfc):
+            return jnp.asarray(xc), jnp.asarray(tc), jnp.asarray(sfc)
+
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
 
@@ -656,17 +745,15 @@ def _train_streaming(
             n_c = xc.shape[0]
             nb = n_c // bs
             if nb > 0:
+                xcs, tcs, sfcs = _stage(xc[: nb * bs], tc[: nb * bs], sfc[: nb * bs])
                 params, state, opt_state, s = chunk_fn(
-                    params, state, opt_state,
-                    jnp.asarray(xc[: nb * bs]), jnp.asarray(tc[: nb * bs]),
-                    jnp.asarray(sfc[: nb * bs]), lr_arr, crng,
+                    params, state, opt_state, xcs, tcs, sfcs, lr_arr, crng,
                 )
                 total += float(s)
             if n_c - nb * bs > 0:
+                xcs, tcs, sfcs = _stage(xc[nb * bs:], tc[nb * bs:], sfc[nb * bs:])
                 params, state, opt_state, s = rem_fn(
-                    params, state, opt_state,
-                    jnp.asarray(xc[nb * bs:]), jnp.asarray(tc[nb * bs:]),
-                    jnp.asarray(sfc[nb * bs:]), lr_arr,
+                    params, state, opt_state, xcs, tcs, sfcs, lr_arr,
                     jax.random.fold_in(crng, 10_000),
                 )
                 total += float(s)
@@ -680,8 +767,8 @@ def _train_streaming(
             vtot, vn = 0.0, 0
             order = np.arange(va.n)
             for xc, tc, sfc, _ in va.epoch_chunks(order):
-                vtot += float(eval_chunk(params, state, jnp.asarray(xc),
-                                         jnp.asarray(sfc), jnp.asarray(tc)))
+                xcs, tcs, sfcs = _stage(xc, tc, sfc)
+                vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
                 vn += xc.shape[0]
             val_loss = vtot / max(vn, 1)
             hist.append("val_loss", val_loss)

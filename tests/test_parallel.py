@@ -153,3 +153,124 @@ def test_concat_shards_headerless_keeps_all_rows(tmp_path):
     df = pd.read_csv(path, sep="\t", header=None)
     assert df.shape == (4, 4)
     np.testing.assert_allclose(df.values, np.vstack([a, b]), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# public mesh-training path: train(devices=...) / dca(devices=...) / CLI
+# ---------------------------------------------------------------------------
+
+
+def _prepped_adata(n_cells=96, n_genes=32, seed=3):
+    from conftest import make_adata
+    from dca_tpu.data import read_dataset, normalize
+
+    return normalize(read_dataset(make_adata(n_cells, n_genes, seed)))
+
+
+def test_train_devices_matches_single_device():
+    """train(devices=8) == train() epoch-for-epoch: same step count, loss
+    and val_loss trajectories up to float reduction order (the whole point
+    of the GSPMD integration — reference semantics at any device count)."""
+    from dca_tpu.train import train
+
+    ad = _prepped_adata()
+    net1 = _net(G=32, ae_type="nb-conddisp")
+    h1 = train(ad, net1, epochs=4, verbose=False, seed=0)
+    net2 = _net(G=32, ae_type="nb-conddisp")
+    h2 = train(ad, net2, epochs=4, verbose=False, seed=0, devices=8)
+    assert len(h1.history["loss"]) == len(h2.history["loss"])
+    np.testing.assert_allclose(h1.history["loss"], h2.history["loss"],
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(h1.history["val_loss"], h2.history["val_loss"],
+                               rtol=2e-3, atol=1e-4)
+    # final params agree too (RMSprop amplifies reduction-order noise; each
+    # epoch step is O(lr)=1e-3, so 1.5e-3 atol ≈ half of one update)
+    for a, b in zip(jax.tree_util.tree_leaves(net1.params),
+                    jax.tree_util.tree_leaves(net2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1.5e-3)
+
+
+def test_train_devices_tensor_parallel():
+    """data x model = 4 x 2 mesh through the public train() entry point."""
+    from dca_tpu.train import train
+
+    ad = _prepped_adata()
+    net1 = _net(G=32, ae_type="zinb-conddisp")
+    h1 = train(ad, net1, epochs=3, verbose=False, seed=0)
+    net2 = _net(G=32, ae_type="zinb-conddisp")
+    h2 = train(ad, net2, epochs=3, verbose=False, seed=0,
+               devices=8, model_parallel=2)
+    np.testing.assert_allclose(h1.history["loss"], h2.history["loss"],
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_train_devices_compiled_whole_fit():
+    """The one-XLA-program fit (compiled=True) also partitions over the
+    mesh: loss histories match the Python-epoch mesh run's length contract
+    and stay finite."""
+    from dca_tpu.train import train
+
+    ad = _prepped_adata()
+    net = _net(G=32, ae_type="nb-conddisp")
+    h = train(ad, net, epochs=3, verbose=False, seed=0, devices=8,
+              compiled=True)
+    assert len(h.history["loss"]) == 3
+    assert np.isfinite(h.history["loss"]).all()
+
+
+def test_dca_devices_public_api():
+    """dca(adata, devices=...) trains data-parallel on the 8-device mesh and
+    honors the full side-effect contract."""
+    from dca_tpu import dca
+    from conftest import make_adata
+
+    ad = make_adata(80, 24, seed=5)
+    net = dca(ad, epochs=3, devices=8, return_model=True, return_info=True)
+    assert ad.obsm["X_dca_dispersion"].shape == (80, 24)
+    assert "dca_loss_history" in ad.uns
+    assert np.isfinite(np.asarray(ad.X)).all()
+    # params were trained over the mesh and remain usable for predict
+    out = net.forward(np.asarray(ad.X))
+    assert np.isfinite(out["output"]).all()
+
+
+def test_cli_devices_flag(tmp_path):
+    """--devices/--modelparallel end-to-end through the CLI."""
+    import pandas as pd
+    from dca_tpu.__main__ import main
+    from conftest import make_counts
+
+    counts = make_counts(48, 16, seed=13)
+    f = str(tmp_path / "counts.tsv")
+    pd.DataFrame(
+        counts.T.astype(int),
+        index=[f"g{i}" for i in range(16)],
+        columns=[f"c{i}" for i in range(48)],
+    ).to_csv(f, sep="\t")
+    outdir = str(tmp_path / "out")
+    main([f, outdir, "-e", "2", "-s", "8,4,8", "--devices", "8",
+          "--modelparallel", "2"])
+    import os
+    mean = pd.read_csv(os.path.join(outdir, "mean.tsv"), sep="\t", index_col=0)
+    assert mean.shape == (16, 48)
+    assert np.isfinite(mean.to_numpy()).all()
+
+
+def test_train_devices_leaves_params_on_mesh():
+    """After train(devices=8, model_parallel=2) the trained params really
+    live on the mesh: head kernels column-sharded over 'model', and the
+    network carries the mesh for the predict/write path."""
+    from dca_tpu.train import train
+    from jax.sharding import NamedSharding
+
+    ad = _prepped_adata()
+    net = _net(G=32, ae_type="zinb-conddisp")
+    train(ad, net, epochs=1, verbose=False, seed=0, devices=8, model_parallel=2)
+    assert net._mesh is not None and net._mesh.shape == {"data": 4, "model": 2}
+    k = net.params["heads"]["mean"]["kernel"]
+    assert isinstance(k.sharding, NamedSharding)
+    assert k.sharding.spec == P(None, "model")
+    # one shard holds half the gene columns
+    shard = k.addressable_shards[0]
+    assert shard.data.shape == (k.shape[0], k.shape[1] // 2)
