@@ -182,13 +182,21 @@ def train(
     else:
         stream = est_bytes > int(os.environ.get("DCA_TPU_DEVICE_BYTES", 6_000_000_000))
     if stream:
-        return _train_streaming(
-            adata, network, opt, lr, epochs=epochs, reduce_lr=reduce_lr,
-            early_stop=early_stop, batch_size=batch_size,
-            validation_split=validation_split, use_raw_as_output=use_raw_as_output,
-            output_subset=output_subset, seed=seed, verbose=verbose,
-            max_device_cells=max_device_cells or 131072, mesh=mesh,
-        )
+        if tensorboard and output_dir is not None:
+            jax.profiler.start_trace(os.path.join(output_dir, "tb"))
+        try:
+            return _train_streaming(
+                adata, network, opt, lr, epochs=epochs, reduce_lr=reduce_lr,
+                early_stop=early_stop, batch_size=batch_size,
+                validation_split=validation_split, use_raw_as_output=use_raw_as_output,
+                output_subset=output_subset, seed=seed, verbose=verbose,
+                max_device_cells=max_device_cells or 131072, mesh=mesh,
+                output_dir=output_dir, save_weights=save_weights,
+                checkpoint_every=checkpoint_every, resume=resume,
+            )
+        finally:
+            if tensorboard and output_dir is not None:
+                jax.profiler.stop_trace()
 
     # ----- assemble host arrays (train.py:83-89) -----
     X = _densify(adata.X)
@@ -347,6 +355,12 @@ def _train_inner(
                 # replay the shuffle stream so resumed epochs see the same perms
                 for _ in range(start_epoch):
                     rng_np.permutation(n_train)
+                if mesh is not None:
+                    from ..parallel.step import place_train_state
+
+                    params, state, opt_state = place_train_state(
+                        network, mesh, params, state, opt_state
+                    )
                 if verbose:
                     print(f"dca_tpu: resumed from epoch {start_epoch}")
 
@@ -628,12 +642,17 @@ def _train_compiled(
 def _train_streaming(
     adata, network, opt, lr, *, epochs, reduce_lr, early_stop, batch_size,
     validation_split, use_raw_as_output, output_subset, seed, verbose,
-    max_device_cells, mesh=None,
+    max_device_cells, mesh=None, output_dir=None, save_weights=False,
+    checkpoint_every=0, resume=False,
 ):
     """Chunked training for datasets too large to stage on device whole
     (data/loader.py).  The count matrix stays sparse on the host; shuffled
     fixed-size chunks are densified (+ lazily z-scaled), shipped to HBM once
-    per epoch, and all their minibatch steps run as one on-device scan."""
+    per epoch, and all their minibatch steps run as one on-device scan.
+
+    Carries the full dense-path callback surface — best-weights save,
+    checkpoint_every/resume crash recovery — since the 1M-cell runs this
+    path exists for are exactly the ones that need them."""
     from ..data.loader import StreamingData
 
     X = adata.X
@@ -733,8 +752,41 @@ def _train_streaming(
     es_wait = rlr_wait = 0
     rlr_best = math.inf
     stop = False
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    ckpt = None
+    if (checkpoint_every or resume) and output_dir is not None:
+        from .checkpoint import TrainCheckpoint
+
+        ckpt = TrainCheckpoint(os.path.join(output_dir, "checkpoints"))
+        if resume:
+            tree, meta = ckpt.restore(
+                {"params": params, "state": state, "opt_state": opt_state}
+            )
+            if tree is not None:
+                params, state, opt_state = (
+                    tree["params"], tree["state"], tree["opt_state"]
+                )
+                lr = meta["lr"]
+                cb = meta.get("callback_state", {})
+                best_monitor = cb.get("best_monitor", best_monitor)
+                es_wait = cb.get("es_wait", 0)
+                rlr_best = cb.get("rlr_best", rlr_best)
+                rlr_wait = cb.get("rlr_wait", 0)
+                start_epoch = int(meta["step"]) + 1
+                # replay the shuffle stream so resumed epochs see the same perms
+                for _ in range(start_epoch):
+                    rng_np.permutation(n_train)
+                if mesh is not None:
+                    from ..parallel.step import place_train_state
+
+                    params, state, opt_state = place_train_state(
+                        network, mesh, params, state, opt_state
+                    )
+                if verbose:
+                    print(f"dca_tpu: resumed from epoch {start_epoch} [streaming]")
+
+    for epoch in range(start_epoch, epochs):
         perm = rng_np.permutation(n_train)
         epoch_rng = jax.random.fold_in(base_rng, epoch)
         lr_arr = jnp.float32(lr)
@@ -785,6 +837,9 @@ def _train_streaming(
         if monitor < best_monitor:
             best_monitor = monitor
             es_wait = 0
+            if save_weights and output_dir is not None:
+                network.params, network.state = params, state
+                network.save_weights(os.path.join(output_dir, "weights.hdf5"))
         else:
             es_wait += 1
             if early_stop and es_wait >= early_stop:
@@ -798,6 +853,25 @@ def _train_streaming(
                 if rlr_wait >= reduce_lr:
                     lr = lr * 0.1
                     rlr_wait = 0
+
+        if ckpt is not None and checkpoint_every and (
+            (epoch + 1) % checkpoint_every == 0 or stop or epoch == epochs - 1
+        ):
+            ckpt.save(
+                epoch,
+                params,
+                state,
+                opt_state,
+                lr=lr,
+                seed=seed,
+                callback_state=dict(
+                    best_monitor=best_monitor,
+                    es_wait=es_wait,
+                    rlr_best=rlr_best,
+                    rlr_wait=rlr_wait,
+                ),
+            )
+
         if stop:
             break
 
