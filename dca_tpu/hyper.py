@@ -9,6 +9,22 @@ Estimator, since hyperopt is not available in this environment.
 Improvements over the reference (marked TODO there, hyper.py:106,112):
 ``best.json`` stores the actual parameter VALUES (not choice indices), and
 ``retrain_best`` can refit the winning configuration.
+
+Compile cost on TPU.  Every architecturally distinct trial (hidden_size,
+aetype, activation, batchnorm, dropout rates — all static under ``jit``)
+traces and compiles a fresh XLA program; on platforms that compile remotely
+at first execution that is minutes per unique program, so the reference
+default of ``--hypern 1000`` over a space with *continuous* dropout
+dimensions would compile ~1000 programs.  Mitigations used here:
+
+* on TPU backends the driver swaps in :func:`tpu_space` — identical to the
+  reference space except the two dropout dimensions are quantized to a 0.05
+  grid, so TPE revisits previously compiled programs as it converges;
+* the driver enables JAX's persistent compilation cache so repeated
+  configurations (and re-runs) skip recompilation entirely;
+* a cost warning with the unique-program bound is printed up front.
+
+Pass ``space=reference_space(...)`` to force the exact reference space.
 """
 
 from __future__ import annotations
@@ -54,6 +70,27 @@ class LogUniform:
         return float(np.exp(rs.uniform(np.log(self.low), np.log(self.high))))
 
 
+@dataclass(frozen=True)
+class QuantizedUniform:
+    """Uniform over [low, high] snapped to multiples of ``q``.
+
+    Used for dimensions that are static under jit (dropout rates): a
+    continuous draw would force a fresh XLA compile per trial, a grid keeps
+    the set of distinct compiled programs finite.
+    """
+
+    low: float
+    high: float
+    q: float
+
+    def sample(self, rs):
+        return self._snap(rs.uniform(self.low, self.high))
+
+    def _snap(self, x):
+        v = round(x / self.q) * self.q
+        return float(min(max(v, self.low), self.high))
+
+
 def reference_space(hyperepoch: int = 100) -> Dict[str, Any]:
     """The exact search space of reference hyper.py:19-42."""
     return {
@@ -83,6 +120,19 @@ def reference_space(hyperepoch: int = 100) -> Dict[str, Any]:
         "input_dropout": Uniform(0.0, 0.8),
         "epochs": Choice((hyperepoch,)),
     }
+
+
+def tpu_space(hyperepoch: int = 100) -> Dict[str, Any]:
+    """Reference space with compile-stable dropout grids (see module doc).
+
+    Only the two dropout dimensions differ from :func:`reference_space`:
+    they are quantized to 0.05 steps so the number of architecturally
+    distinct (= separately compiled) trial programs is bounded.
+    """
+    space = reference_space(hyperepoch)
+    space["dropout"] = QuantizedUniform(0.0, 0.7, 0.05)
+    space["input_dropout"] = QuantizedUniform(0.0, 0.8, 0.05)
+    return space
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +219,10 @@ class TPE:
         score = parzen_logpdf(cand, g) - parzen_logpdf(cand, b)
         x = cand[int(np.argmax(score))]
         val = float(inv(x))
-        return min(max(val, lo), hi)
+        val = min(max(val, lo), hi)
+        if isinstance(dist, QuantizedUniform):
+            val = dist._snap(val)
+        return val
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +377,28 @@ def retrain_best(adata, best_cfg, seed=0):
 
 def hyper(args):
     """CLI driver (reference hyper.py:14-113): read the dataset and search."""
+    import jax
+
     from .data.io import read_dataset
+
+    # persistent compile cache: repeated/architecturally identical trials
+    # (and re-runs of the search) skip XLA recompilation
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(args.outputdir, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    on_tpu = jax.default_backend() == "tpu"
+    space = tpu_space(args.hyperepoch) if on_tpu else None
+    if on_tpu:
+        print(
+            f"dca_tpu hyper: TPU backend — each architecturally distinct trial "
+            f"compiles a fresh XLA program (minutes apiece on remote-compile "
+            f"platforms). Using the compile-stable search space (dropout on a "
+            f"0.05 grid) and a persistent compile cache; with --hypern "
+            f"{args.hypern} expect up to ~{min(args.hypern, 9 * 2 * 6 * 2)} "
+            f"unique architectures before TPE converges. Lower --hypern for a "
+            f"cheaper search."
+        )
 
     adata = read_dataset(args.input, transpose=args.transpose, test_split=False)
     best_cfg, best_loss, _ = hyper_search(
@@ -332,6 +406,7 @@ def hyper(args):
         n_trials=args.hypern,
         hyperepoch=args.hyperepoch,
         output_dir=args.outputdir,
+        space=space,
     )
     print({"loss": best_loss, "config": _jsonable(best_cfg)})
     return best_cfg

@@ -11,9 +11,11 @@ from dca_tpu.hyper import (
     TPE,
     Choice,
     LogUniform,
+    QuantizedUniform,
     Uniform,
     hyper_search,
     reference_space,
+    tpu_space,
 )
 
 from conftest import make_adata
@@ -29,6 +31,32 @@ def test_reference_space_matches_reference():
     assert space["aetype"].options == ("zinb", "zinb-conddisp")
     assert len(space["hidden_size"].options) == 9
     assert space["epochs"].options == (77,)
+
+
+def test_tpu_space_is_compile_stable():
+    """The TPU space differs from the reference space only in quantizing the
+    dropout dims (bounds the number of distinct jit programs per search)."""
+    ref, tpu = reference_space(50), tpu_space(50)
+    assert set(ref) == set(tpu)
+    for k in ref:
+        if k in ("dropout", "input_dropout"):
+            assert isinstance(tpu[k], QuantizedUniform)
+            assert (tpu[k].low, tpu[k].high) == (ref[k].low, ref[k].high)
+        else:
+            assert tpu[k] == ref[k]
+    rs = np.random.RandomState(0)
+    draws = [tpu["dropout"].sample(rs) for _ in range(200)]
+    assert all(abs(d / 0.05 - round(d / 0.05)) < 1e-9 for d in draws)
+    assert all(0.0 <= d <= 0.7 for d in draws)
+    assert len(set(draws)) <= 15  # the whole point: a finite grid
+
+    # TPE proposals stay on the grid after the startup phase too
+    tpe = TPE({"dropout": tpu["dropout"]}, seed=0, n_startup=5)
+    for _ in range(10):
+        cfg = tpe.suggest()
+        d = cfg["dropout"]
+        assert abs(d / 0.05 - round(d / 0.05)) < 1e-9
+        tpe.observe(cfg, (d - 0.3) ** 2)
 
 
 def test_tpe_converges_on_quadratic():
