@@ -9,6 +9,14 @@ output-head epilogues through the fused Pallas kernel
 fuses bias/BN/activation into the matmul epilogue on its own — the Pallas
 path exists for explicit control on very wide gene panels and is
 equivalence-tested against the XLA path either way.
+
+DCA_TPU_DEVICE_DENSIFY: '1' = the streaming pipeline ships sparse chunks
+as padded CSR payloads (O(nnz) bytes) and densifies on-device with an XLA
+scatter (ops/densify.py), fusing the z-scale epilogue; '0'/'auto'
+(default) = densify on the host via the C++ tier and transfer dense.
+Enable when host->device transfer is the pipeline bottleneck and the data
+is sparse with balanced row occupancy (payload bytes scale with the max
+nnz per row).
 """
 
 from __future__ import annotations
@@ -29,3 +37,7 @@ def use_fused_loss() -> bool:
 
 def use_fused_dense() -> bool:
     return os.environ.get("DCA_TPU_FUSED_DENSE", "auto") == "1"
+
+
+def use_device_densify() -> bool:
+    return os.environ.get("DCA_TPU_DEVICE_DENSIFY", "auto") == "1"

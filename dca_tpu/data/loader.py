@@ -45,6 +45,27 @@ def lazy_scale_stats(X) -> Tuple[np.ndarray, np.ndarray]:
     return mean.astype(np.float32), std.astype(np.float32)
 
 
+class SparseChunk:
+    """Padded CSR payload of a chunk, densified ON DEVICE (ops/densify.py).
+
+    Carries (B, K) column-id/value slabs; behaves enough like an array for
+    the chunk loop (``.shape``, row slicing) and is turned dense by the
+    training loop's staging function after transfer.
+    """
+
+    __slots__ = ("idx", "dat", "n_cols")
+
+    def __init__(self, idx, dat, n_cols):
+        self.idx, self.dat, self.n_cols = idx, dat, int(n_cols)
+
+    @property
+    def shape(self):
+        return (self.idx.shape[0], self.n_cols)
+
+    def __getitem__(self, sl):
+        return SparseChunk(self.idx[sl], self.dat[sl], self.n_cols)
+
+
 def _gather_dense(X, idx) -> np.ndarray:
     from .. import native
 
@@ -78,6 +99,7 @@ class StreamingData:
         chunk_cells: int,
         scale_mean: Optional[np.ndarray] = None,
         scale_std: Optional[np.ndarray] = None,
+        device_densify: bool = False,
     ):
         assert X.shape[0] == target.shape[0] == len(size_factors)
         self.X = X
@@ -87,12 +109,36 @@ class StreamingData:
         self.chunk_cells = int(chunk_cells)
         self.scale_mean = scale_mean
         self.scale_std = scale_std
+        # device-densify mode: CSR components are shipped as padded payloads
+        # (SparseChunk) and scattered dense on-device; the slot width K is
+        # fixed matrix-wide so every chunk reuses one compiled scatter.
+        # Input z-scaling is then deferred to the on-device epilogue — the
+        # staging fn in train/loop.py applies scale_mean/std to SparseChunk x.
+        self.device_densify = bool(device_densify)
+        self._K_x = self._payload_width(X) if device_densify else None
+        self._K_t = self._payload_width(target) if device_densify else None
+
+    @staticmethod
+    def _payload_width(M):
+        if not sp.isspmatrix_csr(M):
+            return None
+        nnz = np.diff(M.indptr)
+        return max(int(nnz.max()) if nnz.size else 0, 1)
+
+    def _component(self, M, idx, K, is_input):
+        if K is not None:
+            from ..ops.densify import payload_from_csr
+
+            pi, pd = payload_from_csr(M, idx, K)
+            return SparseChunk(pi, pd, M.shape[1])
+        x = _gather_dense(M, idx)
+        if is_input and self.scale_mean is not None:
+            x = (x - self.scale_mean) / self.scale_std
+        return x
 
     def materialize(self, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        x = _gather_dense(self.X, idx)
-        if self.scale_mean is not None:
-            x = (x - self.scale_mean) / self.scale_std
-        t = _gather_dense(self.target, idx)
+        x = self._component(self.X, idx, self._K_x, True)
+        t = self._component(self.target, idx, self._K_t, False)
         return x, t, self.sf[idx]
 
     def epoch_chunks(self, perm: np.ndarray) -> Iterator[Tuple[np.ndarray, ...]]:

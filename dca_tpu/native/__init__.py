@@ -87,6 +87,10 @@ def _load():
     ]
     lib.dca_csr_densify.restype = None
     lib.dca_csr_densify.argtypes = [p_i64, p_i32, p_f32, p_i64, i64, i64, p_f32]
+    lib.dca_csr_to_padded.restype = None
+    lib.dca_csr_to_padded.argtypes = [
+        p_i64, p_i32, p_f32, p_i64, i64, i64, ctypes.c_int32, p_i32, p_f32,
+    ]
     lib.dca_gather_rows.restype = None
     lib.dca_gather_rows.argtypes = [p_f32, p_i64, i64, i64, p_f32]
     lib.dca_format_rows.restype = i64
@@ -334,6 +338,44 @@ def densify_rows(indptr, indices, data, rows, n_cols, out=None):
         _ptr(out, lib.dca_csr_densify.argtypes[6]),
     )
     return out
+
+
+def csr_to_padded(indptr, indices, data, rows, K, pad_index):
+    """Copy CSR rows into padded (len(rows), K) int32/f32 payload buffers for
+    on-device densification (ops/densify.py): index slots past a row's nnz
+    carry ``pad_index``, value slots carry 0."""
+    rows = _as_i64(rows)
+    n_rows = len(rows)
+    out_idx = np.empty((n_rows, K), np.int32)
+    out_dat = np.empty((n_rows, K), np.float32)
+    lib = _load()
+    if lib is None:
+        indptr = _as_i64(indptr)
+        out_idx[:] = pad_index
+        out_dat[:] = 0.0
+        starts = indptr[rows]
+        lens = np.minimum(indptr[rows + 1] - starts, K)
+        total = int(lens.sum())
+        if total:
+            rr = np.repeat(np.arange(n_rows), lens)
+            jj = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            src = np.repeat(starts, lens) + jj
+            out_idx[rr, jj] = indices[src]
+            out_dat[rr, jj] = data[src]
+        return out_idx, out_dat
+    indptr = _as_i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    lib.dca_csr_to_padded(
+        _ptr(indptr, lib.dca_csr_to_padded.argtypes[0]),
+        _ptr(indices, lib.dca_csr_to_padded.argtypes[1]),
+        _ptr(data, lib.dca_csr_to_padded.argtypes[2]),
+        _ptr(rows, lib.dca_csr_to_padded.argtypes[3]),
+        n_rows, K, np.int32(pad_index),
+        _ptr(out_idx, lib.dca_csr_to_padded.argtypes[7]),
+        _ptr(out_dat, lib.dca_csr_to_padded.argtypes[8]),
+    )
+    return out_idx, out_dat
 
 
 def gather_rows(src, rows, out=None):

@@ -156,6 +156,29 @@ void dca_csr_densify(const int64_t* indptr, const int32_t* indices,
     }
 }
 
+// CSR rows -> padded (n_rows, K) index/value payload for ON-DEVICE
+// densification (ops/densify.py): each selected row's column ids and values
+// are copied into fixed-width slots, index slots beyond the row's nnz carry
+// pad_index (= n_cols, dropped by the device scatter), value slots carry 0.
+void dca_csr_to_padded(const int64_t* indptr, const int32_t* indices,
+                       const float* data, const int64_t* rows, int64_t n_rows,
+                       int64_t K, int32_t pad_index, int32_t* out_idx,
+                       float* out_dat) {
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t src = rows[r];
+        int64_t s = indptr[src];
+        int64_t len = indptr[src + 1] - s;
+        if (len > K) len = K;
+        int32_t* di = out_idx + r * K;
+        float* dv = out_dat + r * K;
+        memcpy(di, indices + s, len * sizeof(int32_t));
+        memcpy(dv, data + s, len * sizeof(float));
+        for (int64_t k = len; k < K; k++) di[k] = pad_index;
+        memset(dv + len, 0, (K - len) * sizeof(float));
+    }
+}
+
 // Gather dense f32 rows (fancy indexing) — the dense-matrix counterpart of
 // dca_csr_densify for the streaming loader.
 void dca_gather_rows(const float* src, const int64_t* rows, int64_t n_rows,

@@ -7,8 +7,8 @@ __all__ = [
     "get_activation",
     "ACTIVATIONS",
     "get_initializer",
-    # Pallas kernels (imported lazily by their users; listed for discovery):
-    # ops.fused_loss.zinb_nll_fused / nb_nll_fused
-    # ops.fused_dense.fused_dense_block
-    # ops.densify.densify_csr / densify_padded
+    # kernels (imported lazily by their users; listed for discovery):
+    # ops.fused_loss.zinb_nll_fused / nb_nll_fused   (Pallas)
+    # ops.fused_dense.fused_dense_block              (Pallas)
+    # ops.densify.device_densify / payload_from_csr  (XLA scatter)
 ]

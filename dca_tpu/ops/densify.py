@@ -1,33 +1,32 @@
-"""On-chip sparse->dense densification kernel (Pallas TPU).
+"""On-device sparse->dense densification for the streaming input pipeline.
 
 TPU-native replacement for the reference's host-side scipy CSR slicing +
-`.toarray()` batch extraction (/root/reference/dca/io.py:67-68,
-train.py:83): instead of densifying on the host and shipping a dense
-(B, G) f32 block over PCIe/DCN, ship the CSR payload at O(nnz) bytes and
-scatter it into dense tiles in VMEM on the chip.  For typical scRNA-seq
-sparsity (~90% zeros) that cuts host->device bytes ~5x; the scatter itself
-runs at VPU speed.
+``.toarray()`` batch extraction (/root/reference/dca/io.py:67-68,
+train.py:83).  Two tiers exist in this framework:
 
-Kernel design.  Mosaic has no scatter primitive and no dynamic
-lane-dimension indexing (a `ref[:, k]` with traced k fails to compile:
-"cannot statically prove that index ... is a multiple of 128"), so the
-layout is arranged on the host such that the kernel needs neither:
+  * HOST tier (default): the C++ densifier ``native.densify_rows`` builds the
+    dense (B, G) f32 chunk at memory bandwidth and JAX transfers it — simple,
+    and fastest when the host->device link is not the bottleneck.
+  * DEVICE tier (this module, ``DCA_TPU_DEVICE_DENSIFY=1``): ship the padded
+    CSR payload — per row, K = max-nnz-per-row slots of (int32 column id,
+    f32 value) — and scatter it into the dense chunk IN HBM with an XLA
+    scatter.  Transfer is 8*B*K bytes instead of 4*B*G, a win whenever the
+    widest row's nnz is well under half the gene panel (e.g. ~5x for 90%
+    sparse data with balanced rows); the optional z-scale epilogue
+    (sc.pp.scale semantics) fuses into the same program, so the input chunk
+    is never materialized unscaled.
 
-  * the host regroups each row's sorted CSR entries by OUTPUT COLUMN TILE
-    into a slab of shape (B, n_tiles * KT), where KT is the max number of
-    entries any (row, tile) pair holds; indices are stored RELATIVE to
-    their tile (padding entries carry the out-of-range id BN);
-  * grid = (row tiles, column tiles); each step loads its (BM, KT) slab
-    block and builds the (BM, BN) output tile as a STATICALLY UNROLLED
-    sum over the KT slab slots:  acc += where(idx[:, k] == lane, data, 0);
-  * total VPU work is O(B * G * KT / BN) ≈ O(B * nnz * slack) — the slab
-    regrouping is what turns the O(nnz) scatter into aligned vector ops.
+Payload prep runs in the C++ tier (``native.csr_to_padded``, OpenMP per-row
+memcpy) with a vectorized numpy fallback — never per-row Python.
 
-The host-side batch path stays the default (the native C++ densifier in
-dca_tpu/native handles it at memory bandwidth); this kernel is the
-on-device alternative for transfer-bound pipelines.  Equivalence tests vs
-scipy: tests/test_pallas.py (interpret mode on CPU; compiled on TPU via
-scripts/tpu_smoke.py).
+Design note: an earlier revision hand-wrote this as a Pallas compare-scatter
+kernel over per-tile slabs.  It was abandoned on byte math: Mosaic has no
+scatter primitive, so every (row, column-tile) pair needed a fixed slab of
+max-entries-per-tile slots, and the 128-lane alignment floor made the slab
+payload >= the dense matrix itself at typical sparsity, while the in-kernel
+compare-select loop cost O(B*G*K_tile) VPU work.  XLA's native scatter keeps
+the payload at O(nnz) and the scatter at O(nnz) device work, which is the
+point of shipping sparse in the first place.
 """
 
 from __future__ import annotations
@@ -37,107 +36,85 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
-
-
-def _kernel(idx_ref, dat_ref, o_ref, *, KT, BM, BN):
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
-    acc = jnp.zeros((BM, BN), jnp.float32)
-    for k in range(KT):  # static unroll — no dynamic lane indexing
-        acc = acc + jnp.where(idx_ref[:, k : k + 1] == lanes,
-                              dat_ref[:, k : k + 1], 0.0)
-    o_ref[:] = acc
-
-
-def _build_slabs(indices, data, n_cols, BN):
-    """Regroup row-sorted (indices, data) by output column tile.
-
-    Returns (idx_slab, dat_slab, KT): slabs of shape (B, gj*KT) where tile
-    j's entries for row r sit at [r, j*KT : j*KT + cnt], indices stored
-    tile-relative, padded with BN / 0.
-    """
-    B, K = indices.shape
-    gj = _round_up(n_cols, BN) // BN
-    edges = np.arange(gj + 1, dtype=np.int64) * BN
-    counts = np.empty((B, gj + 1), np.int64)
-    for r in range(B):  # C-speed searchsorted per sorted row
-        counts[r] = np.searchsorted(indices[r], edges, side="left")
-    per_tile = counts[:, 1:] - counts[:, :-1]  # (B, gj)
-    KT = max(int(per_tile.max()) if per_tile.size else 0, 1)
-    # Mosaic block constraint: the slab block's lane dim must be a multiple
-    # of 128 — quantize KT up (padding entries are compare-misses, cheap)
-    KT = _round_up(KT, 128)
-
-    idx_slab = np.full((B, gj * KT), BN, np.int32)
-    dat_slab = np.zeros((B, gj * KT), np.float32)
-    for r in range(B):
-        for j in range(gj):
-            s, e = counts[r, j], counts[r, j + 1]
-            if e > s:
-                idx_slab[r, j * KT : j * KT + (e - s)] = indices[r, s:e] - j * BN
-                dat_slab[r, j * KT : j * KT + (e - s)] = data[r, s:e]
-    return idx_slab, dat_slab, KT, gj
-
-
-def densify_padded(indices, data, n_cols, *, interpret=False):
-    """Densify row-padded sparse batches on-chip.
-
-    indices: (B, K) int32, column ids sorted ascending per row, padded with
-    any value >= n_cols; data: (B, K) f32, padded with 0.
-    Returns the dense (B, n_cols) f32 array.
-    """
-    indices = np.ascontiguousarray(indices, np.int64)
-    data = np.ascontiguousarray(data, np.float32)
-    B, K = indices.shape
-    assert data.shape == (B, K)
-
-    # (128, 256) tiles: the static unroll keeps several (BM, BN) temporaries
-    # live, and (256, 512) overflowed the 16 MB scoped-VMEM limit on v5e
-    BN = min(_round_up(n_cols, 128), 256)
-    BM = min(_round_up(B, 8), 128)
-    Bp = _round_up(B, BM)
-
-    idx_slab, dat_slab, KT, gj = _build_slabs(indices, data, n_cols, BN)
-    if Bp > B:  # padded rows: all-sentinel slabs
-        idx_slab = np.vstack([idx_slab, np.full((Bp - B, gj * KT), BN, np.int32)])
-        dat_slab = np.vstack([dat_slab, np.zeros((Bp - B, gj * KT), np.float32)])
-
-    out = _densify_call(
-        jnp.asarray(idx_slab), jnp.asarray(dat_slab),
-        BM=BM, BN=BN, gi=Bp // BM, gj=gj, KT=KT, interpret=interpret,
+def _scatter_impl(idx, dat, n_cols):
+    B, K = idx.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
+    # padding slots carry idx == n_cols (out of bounds) -> mode='drop'.
+    # CSR payloads are canonical (sorted, unique per row; see payload_from_csr)
+    # so the flattened (row, col) pairs are globally sorted and unique.
+    return jnp.zeros((B, n_cols), jnp.float32).at[rows, idx].add(
+        dat, mode="drop", unique_indices=True, indices_are_sorted=True
     )
-    return out[:B, :n_cols]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("BM", "BN", "gi", "gj", "KT", "interpret")
-)
-def _densify_call(idx_slab, dat_slab, *, BM, BN, gi, gj, KT, interpret):
-    slab_block = pl.BlockSpec((BM, KT), lambda i, j: (i, j))
-    return pl.pallas_call(
-        functools.partial(_kernel, KT=KT, BM=BM, BN=BN),
-        grid=(gi, gj),
-        in_specs=[slab_block, slab_block],
-        out_specs=pl.BlockSpec((BM, BN), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((gi * BM, gj * BN), jnp.float32),
-        interpret=interpret,
-    )(idx_slab, dat_slab)
+_scatter = jax.jit(_scatter_impl, static_argnames=("n_cols",))
 
 
-def densify_csr(indptr, indices, data, n_cols, *, interpret=False):
-    """Densify a scipy-style CSR triplet on-chip; returns (B, n_cols) f32."""
+@functools.partial(jax.jit, static_argnames=("n_cols",))
+def _scatter_scale(idx, dat, mean, std, n_cols):
+    # scatter + z-scale epilogue in one program: XLA fuses the elementwise
+    # (x - mean) / std into the scatter result's consumer, no extra HBM pass
+    return (_scatter_impl(idx, dat, n_cols) - mean) / std
+
+
+def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
+    """Densify a padded CSR payload on-device; optionally fuse z-scaling.
+
+    idx: (B, K) int32 column ids, ascending per row, padded with ``n_cols``;
+    dat: (B, K) f32 values, padded with 0.  Returns the dense (B, n_cols)
+    f32 array (scaled as ``(x - scale_mean) / scale_std`` when given).
+    """
+    idx = jnp.asarray(idx, jnp.int32)
+    dat = jnp.asarray(dat, jnp.float32)
+    if scale_mean is not None:
+        return _scatter_scale(idx, dat, jnp.asarray(scale_mean, jnp.float32),
+                              jnp.asarray(scale_std, jnp.float32), int(n_cols))
+    return _scatter(idx, dat, int(n_cols))
+
+
+def payload_from_csr(X, rows, K=None):
+    """Build the padded (idx, dat) payload for CSR rows via the C++ tier.
+
+    ``K`` (slot width) defaults to the max nnz of the selected rows; pass the
+    matrix-wide max so every chunk of a stream shares one compiled scatter.
+    Canonicalizes the matrix once (sorted, deduplicated indices) so the
+    device scatter's sortedness/uniqueness hints hold.
+    """
+    from .. import native
+
+    if not getattr(X, "_dca_canonical", False):
+        X.sum_duplicates()
+        X.sort_indices()
+        try:
+            X._dca_canonical = True
+        except AttributeError:
+            pass
+    rows = np.asarray(rows, np.int64)
+    if K is None:
+        nnz = np.diff(X.indptr)[rows] if len(rows) else np.zeros(1, np.int64)
+        K = max(int(nnz.max()) if nnz.size else 0, 1)
+    idx, dat = native.csr_to_padded(
+        X.indptr, X.indices, X.data, rows, int(K), X.shape[1]
+    )
+    return idx, dat
+
+
+def densify_csr(indptr, indices, data, n_cols, *, rows=None):
+    """Densify a scipy-style CSR triplet on-device; returns (B, n_cols) f32.
+
+    Convenience wrapper over payload_from_csr + device_densify (tests and
+    the TPU smoke script)."""
+    import scipy.sparse as sp
+
     indptr = np.asarray(indptr, np.int64)
     B = len(indptr) - 1
-    nnz = np.diff(indptr)
-    K = max(int(nnz.max()) if B else 0, 1)
-    idx = np.full((B, K), n_cols, np.int64)
-    dat = np.zeros((B, K), np.float32)
-    for r in range(B):
-        s, e = indptr[r], indptr[r + 1]
-        idx[r, : e - s] = indices[s:e]
-        dat[r, : e - s] = data[s:e]
-    return densify_padded(idx, dat, n_cols, interpret=interpret)
+    m = sp.csr_matrix(
+        (np.asarray(data, np.float32), np.asarray(indices), indptr),
+        shape=(B, n_cols),
+    )
+    if rows is None:
+        rows = np.arange(B, dtype=np.int64)
+    idx, dat = payload_from_csr(m, rows)
+    return device_densify(idx, dat, n_cols)

@@ -653,7 +653,8 @@ def _train_streaming(
     Carries the full dense-path callback surface — best-weights save,
     checkpoint_every/resume crash recovery — since the 1M-cell runs this
     path exists for are exactly the ones that need them."""
-    from ..data.loader import StreamingData
+    from ..config import use_device_densify
+    from ..data.loader import SparseChunk, StreamingData
 
     X = adata.X
     sf = _size_factors(adata)
@@ -673,12 +674,16 @@ def _train_streaming(
     bs = min(batch_size, max(split_at, 1))
     chunk = max((min(max_device_cells, split_at) // bs) * bs, bs)
 
+    # on-device densify (DCA_TPU_DEVICE_DENSIFY=1): ship O(nnz) payloads,
+    # scatter + z-scale on-chip (ops/densify.py); dense host tier otherwise.
+    # The mesh path keeps host densification (sharded staging wants arrays).
+    dev_densify = mesh is None and use_device_densify()
     tr = StreamingData(X[:split_at], target[:split_at], sf[:split_at], chunk,
-                       scale_mean, scale_std)
+                       scale_mean, scale_std, device_densify=dev_densify)
     has_val = split_at < n
     if has_val:
         va = StreamingData(X[split_at:], target[split_at:], sf[split_at:], chunk,
-                           scale_mean, scale_std)
+                           scale_mean, scale_std, device_densify=dev_densify)
     n_train = split_at
 
     loss_fn = network.loss_fn
@@ -741,8 +746,22 @@ def _train_streaming(
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:
+        from ..ops.densify import device_densify as _dev_densify
+
+        def _to_device(c, scaled):
+            if isinstance(c, SparseChunk):
+                return _dev_densify(
+                    c.idx, c.dat, c.n_cols,
+                    scale_mean if scaled else None,
+                    scale_std if scaled else None,
+                )
+            return jnp.asarray(c)
+
         def _stage(xc, tc, sfc):
-            return jnp.asarray(xc), jnp.asarray(tc), jnp.asarray(sfc)
+            # input chunks get the z-scale epilogue fused into the on-device
+            # scatter (the loader defers host scaling in payload mode)
+            return (_to_device(xc, scale_mean is not None),
+                    _to_device(tc, False), jnp.asarray(sfc))
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)

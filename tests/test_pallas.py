@@ -168,61 +168,8 @@ def test_fused_dense_multi_k_blocks():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-# ---------------------------------------------------------------------------
-# on-chip CSR densification
-# ---------------------------------------------------------------------------
-
-from dca_tpu.ops.densify import densify_csr, densify_padded
-
-
-def _random_csr(B, G, density, seed=0):
-    import scipy.sparse as sp
-    rs = np.random.RandomState(seed)
-    m = sp.random(B, G, density=density, format="csr", random_state=rs,
-                  data_rvs=lambda n: rs.poisson(3.0, n) + 1.0)
-    m.sort_indices()
-    return m
-
-
-@pytest.mark.parametrize("shape,density", [((32, 300), 0.1), ((13, 513), 0.05),
-                                           ((64, 128), 0.5)])
-def test_densify_csr_matches_scipy(shape, density):
-    B, G = shape
-    m = _random_csr(B, G, density)
-    got = np.asarray(densify_csr(m.indptr, m.indices, m.data, G, interpret=True))
-    np.testing.assert_allclose(got, m.toarray(), rtol=0, atol=0)
-
-
-def test_densify_empty_rows_and_padding():
-    import scipy.sparse as sp
-    B, G = 9, 260
-    m = _random_csr(B, G, 0.1, seed=1)
-    # zero out two rows entirely
-    lil = m.tolil()
-    lil[0] = 0
-    lil[5] = 0
-    m = lil.tocsr()
-    m.eliminate_zeros()
-    m.sort_indices()
-    got = np.asarray(densify_csr(m.indptr, m.indices, m.data, G, interpret=True))
-    np.testing.assert_allclose(got, m.toarray())
-
-
-def test_densify_padded_api():
-    B, G, K = 10, 140, 7
-    rs = np.random.RandomState(3)
-    idx = np.sort(rs.choice(G, size=(B, K), replace=True), axis=1).astype(np.int32)
-    dat = rs.uniform(1, 5, size=(B, K)).astype(np.float32)
-    # emulate padding: mark half of row 0 as padding
-    idx[0, 4:] = G
-    dat[0, 4:] = 0.0
-    ref = np.zeros((B, G), np.float32)
-    for r in range(B):
-        for k in range(K):
-            if idx[r, k] < G:
-                ref[r, idx[r, k]] += dat[r, k]
-    got = np.asarray(densify_padded(idx, dat, G, interpret=True))
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+# (on-device CSR densification moved to tests/test_densify.py — it is an
+# XLA scatter now, not a Pallas kernel; see ops/densify.py design note)
 
 
 @pytest.mark.parametrize("ae_type", ["zinb-conddisp", "nb", "zinb-fork"])
