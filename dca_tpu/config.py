@@ -3,12 +3,12 @@
 DCA_TPU_FUSED_LOSS: '1' force the fused Pallas NLL kernels, '0' force the
 pure-JAX/XLA path, 'auto' (default) = fused on TPU backends only.
 
-DCA_TPU_FUSED_DENSE: '1' run inference Dense->BN->activation blocks and
-output-head epilogues through the fused Pallas kernel
-(ops/fused_dense.py); '0'/'auto' (default) = plain XLA, which already
-fuses bias/BN/activation into the matmul epilogue on its own — the Pallas
-path exists for explicit control on very wide gene panels and is
-equivalence-tested against the XLA path either way.
+DCA_TPU_FUSED_DENSE: '1' force inference Dense->BN->activation blocks and
+output-head epilogues through the fused Pallas kernel (ops/fused_dense.py);
+'0' force plain XLA; 'auto' (default) = fused output heads on TPU when the
+gene panel is wide (>= 4096 columns, where the kernel measurably beats
+XLA — docs/benchmarks.md), plain XLA otherwise.  Equivalence-tested against
+the XLA path either way.
 
 DCA_TPU_DEVICE_DENSIFY: '1' = the streaming pipeline ships sparse chunks
 as padded CSR payloads (O(nnz) bytes) and densifies on-device with an XLA
@@ -35,8 +35,21 @@ def use_fused_loss() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def use_fused_dense() -> bool:
-    return os.environ.get("DCA_TPU_FUSED_DENSE", "auto") == "1"
+def use_fused_dense(n_out=None) -> bool:
+    """'1' forces the fused Pallas inference blocks, '0' forces XLA; 'auto'
+    (default) uses the fused path on TPU for WIDE output panels only — the
+    measured crossover is in the thousands of output columns (1.17x at
+    G=10240 on v5e, docs/benchmarks.md); XLA is at parity below that."""
+    mode = os.environ.get("DCA_TPU_FUSED_DENSE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    if n_out is None or n_out < 4096:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def use_device_densify() -> bool:

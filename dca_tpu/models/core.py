@@ -52,10 +52,10 @@ BN_MOMENTUM = 0.99
 THETA_EXP_CLIP = (1e-3, 1e4)  # layers.py:21
 
 
-def _fused_dense_enabled() -> bool:
+def _fused_dense_enabled(n_out=None) -> bool:
     from ..config import use_fused_dense
 
-    return use_fused_dense()
+    return use_fused_dense(n_out)
 
 
 def _fused_interpret() -> bool:
@@ -590,7 +590,9 @@ def apply(
 
     heads = definition.heads
     out: Dict[str, Optional[jax.Array]] = {}
-    fused = (not training) and _fused_dense_enabled()
+    # heads are the wide (64 -> G) matmuls where the fused Pallas block wins
+    # (docs/benchmarks.md); auto mode engages it on TPU for large G only
+    fused = (not training) and _fused_dense_enabled(definition.output_size)
 
     if definition.ae_type == "zinb-elempi":
         # network.py:429-447: z = -Dense(decoder); pi = ElemDense(sigmoid)(z);

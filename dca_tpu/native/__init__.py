@@ -343,7 +343,8 @@ def densify_rows(indptr, indices, data, rows, n_cols, out=None):
 def csr_to_padded(indptr, indices, data, rows, K, pad_index):
     """Copy CSR rows into padded (len(rows), K) int32/f32 payload buffers for
     on-device densification (ops/densify.py): index slots past a row's nnz
-    carry ``pad_index``, value slots carry 0."""
+    carry ascending out-of-range ids ``pad_index + k`` (keeps the device
+    scatter's sorted/unique hints true), value slots carry 0."""
     rows = _as_i64(rows)
     n_rows = len(rows)
     out_idx = np.empty((n_rows, K), np.int32)
@@ -351,10 +352,12 @@ def csr_to_padded(indptr, indices, data, rows, K, pad_index):
     lib = _load()
     if lib is None:
         indptr = _as_i64(indptr)
-        out_idx[:] = pad_index
         out_dat[:] = 0.0
         starts = indptr[rows]
         lens = np.minimum(indptr[rows + 1] - starts, K)
+        # padding slot k of a row with L entries carries pad_index + (k - L)
+        pad_shift = np.arange(K, dtype=np.int32)[None, :] - lens[:, None]
+        out_idx[:] = pad_index + np.maximum(pad_shift, 0).astype(np.int32)
         total = int(lens.sum())
         if total:
             rr = np.repeat(np.arange(n_rows), lens)

@@ -158,8 +158,11 @@ void dca_csr_densify(const int64_t* indptr, const int32_t* indices,
 
 // CSR rows -> padded (n_rows, K) index/value payload for ON-DEVICE
 // densification (ops/densify.py): each selected row's column ids and values
-// are copied into fixed-width slots, index slots beyond the row's nnz carry
-// pad_index (= n_cols, dropped by the device scatter), value slots carry 0.
+// are copied into fixed-width slots; index slots beyond the row's nnz carry
+// ASCENDING out-of-range ids pad_index + k (pad_index = n_cols) so the
+// device scatter's sorted/unique index hints stay true — every padding slot
+// is still out of bounds and dropped, but no two slots in a row collide.
+// (A constant pad id would violate unique_indices and is UB in XLA scatter.)
 void dca_csr_to_padded(const int64_t* indptr, const int32_t* indices,
                        const float* data, const int64_t* rows, int64_t n_rows,
                        int64_t K, int32_t pad_index, int32_t* out_idx,
@@ -174,7 +177,7 @@ void dca_csr_to_padded(const int64_t* indptr, const int32_t* indices,
         float* dv = out_dat + r * K;
         memcpy(di, indices + s, len * sizeof(int32_t));
         memcpy(dv, data + s, len * sizeof(float));
-        for (int64_t k = len; k < K; k++) di[k] = pad_index;
+        for (int64_t k = len; k < K; k++) di[k] = pad_index + (int32_t)(k - len);
         memset(dv + len, 0, (K - len) * sizeof(float));
     }
 }

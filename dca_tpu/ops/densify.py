@@ -41,11 +41,16 @@ import numpy as np
 def _scatter_impl(idx, dat, n_cols):
     B, K = idx.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
-    # padding slots carry idx == n_cols (out of bounds) -> mode='drop'.
+    # padding slots carry ascending ids >= n_cols (out of bounds) -> 'drop'.
     # CSR payloads are canonical (sorted, unique per row; see payload_from_csr)
-    # so the flattened (row, col) pairs are globally sorted and unique.
+    # and the padding ids keep ascending past n_cols, so the flattened
+    # (row, col) pairs are globally sorted and unique.  Despite that, the
+    # sorted/unique scatter HINTS are deliberately NOT passed: the TPU
+    # lowering of hinted scatter with mode='drop' was measured to silently
+    # drop ~0.02% of in-bounds updates (real v5e chip, 2026-08; exact with
+    # hints off) — see docs/benchmarks.md.
     return jnp.zeros((B, n_cols), jnp.float32).at[rows, idx].add(
-        dat, mode="drop", unique_indices=True, indices_are_sorted=True
+        dat, mode="drop"
     )
 
 
@@ -62,7 +67,8 @@ def _scatter_scale(idx, dat, mean, std, n_cols):
 def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
     """Densify a padded CSR payload on-device; optionally fuse z-scaling.
 
-    idx: (B, K) int32 column ids, ascending per row, padded with ``n_cols``;
+    idx: (B, K) int32 column ids, strictly ascending per row, padded with
+    ascending out-of-range ids >= ``n_cols`` (see native.csr_to_padded);
     dat: (B, K) f32 values, padded with 0.  Returns the dense (B, n_cols)
     f32 array (scaled as ``(x - scale_mean) / scale_std`` when given).
     """

@@ -50,10 +50,12 @@ def test_payload_from_csr_shape_and_padding():
     ref = m.toarray()[rows]
     got = np.asarray(device_densify(idx, dat, 90))
     np.testing.assert_allclose(got, ref)
-    # padding slots carry the out-of-range id and zero data
+    # padding slots carry ascending out-of-range ids and zero data; every
+    # row's id sequence is strictly increasing (the scatter hints rely on it)
     nnz = np.diff(m.indptr)[rows]
     for r in range(5):
-        assert (idx[r, nnz[r]:] == 90).all()
+        assert (idx[r, nnz[r]:] >= 90).all()
+        assert (np.diff(idx[r].astype(np.int64)) > 0).all()
         assert (dat[r, nnz[r]:] == 0).all()
 
 

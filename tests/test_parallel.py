@@ -274,3 +274,44 @@ def test_train_devices_leaves_params_on_mesh():
     # one shard holds half the gene columns
     shard = k.addressable_shards[0]
     assert shard.data.shape == (k.shape[0], k.shape[1] // 2)
+
+
+# ---------------------------------------------------------------------------
+# multihost helpers (single-process testable parts)
+# ---------------------------------------------------------------------------
+
+
+def test_process_row_range_partitioning(monkeypatch):
+    """Contiguous block partitioning: ranges tile [0, n) in rank order and
+    every block but the last has ceil(n/P) rows."""
+    from dca_tpu.parallel import multihost
+
+    for n_rows, n_proc in [(100, 4), (101, 4), (7, 8), (8, 8), (1, 3)]:
+        monkeypatch.setattr(jax, "process_count", lambda p=n_proc: p)
+        spans = []
+        for rank in range(n_proc):
+            monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+            spans.append(multihost.process_row_range(n_rows))
+        assert spans[0][0] == 0
+        assert spans[-1][1] == n_rows
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert e0 == s1 and s0 <= e0
+        per = -(-n_rows // n_proc)
+        assert all(e - s <= per for s, e in spans)
+        assert sum(e - s for s, e in spans) == n_rows
+
+
+def test_host_local_to_global_single_process():
+    """Single-process path: the local rows become a global array with the
+    requested ('data', None) sharding over the 8-device mesh."""
+    from dca_tpu.parallel import multihost
+
+    mesh = make_mesh(jax.devices())
+    local = np.arange(64, dtype=np.float32).reshape(16, 4)
+    arr = multihost.host_local_to_global(mesh, P("data", None), local)
+    np.testing.assert_array_equal(np.asarray(arr), local)
+    assert arr.sharding.spec == P("data", None)
+    # each device holds a 2-row slice
+    assert {s.data.shape for s in arr.addressable_shards} == {(2, 4)}
+    # round trip through gather_to_host
+    np.testing.assert_array_equal(multihost.gather_to_host(arr), local)
