@@ -59,7 +59,11 @@ def test_denoising_improves_silhouette():
     sil_true = _silhouette(true_counts, groups)
     print(f"silhouette noisy={sil_noisy:.3f} denoised={sil_denoised:.3f} "
           f"true={sil_true:.3f}")
-    assert sil_denoised > sil_noisy + 0.05, (sil_noisy, sil_denoised)
+    # tutorial claim: silhouette(denoised) ~ silhouette(true) >> noisy.
+    # deterministic seeds measure 0.398 vs 0.166 vs 0.434 here; thresholds
+    # leave real headroom while still failing on any quality regression
+    assert sil_denoised > sil_noisy + 0.15, (sil_noisy, sil_denoised)
+    assert sil_denoised > 0.8 * sil_true, (sil_denoised, sil_true)
 
 
 @pytest.mark.slow
@@ -70,5 +74,5 @@ def test_latent_space_separates_groups():
               random_state=0)
     sil_latent = silhouette_score(ret.obsm["X_dca"], groups)
     # center pre-activations (reference latent contract) give modest but
-    # real separation; deterministic seeds yield ~0.08 here
-    assert sil_latent > 0.04, sil_latent
+    # real separation; deterministic seeds measure 0.079 here
+    assert sil_latent > 0.06, sil_latent
