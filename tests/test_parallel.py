@@ -315,3 +315,37 @@ def test_host_local_to_global_single_process():
     assert {s.data.shape for s in arr.addressable_shards} == {(2, 4)}
     # round trip through gather_to_host
     np.testing.assert_array_equal(multihost.gather_to_host(arr), local)
+
+
+def test_data_parallel_flops_scale_down():
+    """Compile-level scaling check (the hardware-independent proxy for the
+    >=0.9 cells/s scaling north star, BASELINE.md): per-device FLOPs of the
+    sharded train step must drop ~1/N on an N-device data mesh.  The
+    shortfall vs the ideal 8x is the replicated optimizer/param update,
+    which does not grow with the batch."""
+    from dca_tpu.train.optim import get_optimizer
+
+    def per_device_flops(n_dev, B=64, G=256):
+        net = _net(G=G, hidden=(64, 32, 64), ae_type="nb-conddisp")
+        opt = get_optimizer("RMSprop", clipvalue=5.0)
+        mesh = make_mesh(jax.devices()[:n_dev])
+        step, place_state = make_sharded_train_step(net, opt, mesh)
+        rs = np.random.RandomState(0)
+        x = rs.normal(size=(B, G)).astype(np.float32)
+        t = rs.poisson(3, size=(B, G)).astype(np.float32)
+        sf = np.ones(B, np.float32)
+        xs, ts, sfs = shard_train_data(mesh, x, t, sf)
+        params, state, opt_state = place_state(
+            net.params, net.state, opt.init(net.params)
+        )
+        lowered = step.lower(params, state, opt_state, xs, ts, sfs,
+                             jnp.float32(1e-3), jax.random.PRNGKey(0))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+
+    f1 = per_device_flops(1)
+    f8 = per_device_flops(8)
+    ratio = f1 / f8
+    assert ratio > 6.0, (f1, f8, ratio)  # measured 7.0x (0.87 efficiency)
