@@ -21,15 +21,25 @@ from .mesh import batch_sharding, batch_vector_sharding, param_sharding, replica
 def shard_train_data(mesh: Mesh, X, target, sf):
     """Place host arrays on the mesh: cells over 'data', genes replicated.
 
-    jax.device_put needs the sharded dimension to divide evenly; when the
-    row count doesn't divide the data axis the array is placed replicated —
-    compute still runs data-parallel because the per-batch
-    with_sharding_constraint (loop._batch_constrainer) re-shards every
-    minibatch, GSPMD padding included.
+    Multi-host: when more than one process is attached, the inputs are this
+    process's LOCAL row shard (multihost.process_row_range) and the global
+    sharded arrays are assembled without host-to-host copies via
+    jax.make_array_from_process_local_data (multihost.host_local_to_global).
 
-    For multi-host, replace jax.device_put with
-    jax.make_array_from_process_local_data over per-host shards.
+    Single-process, jax.device_put needs the sharded dimension to divide
+    evenly; when the row count doesn't divide the data axis the array is
+    placed replicated — compute still runs data-parallel because the
+    per-batch with_sharding_constraint (loop._batch_constrainer) re-shards
+    every minibatch, GSPMD padding included.
     """
+    if jax.process_count() > 1:
+        from .multihost import host_local_to_global
+
+        return (
+            host_local_to_global(mesh, P("data", None), X),
+            host_local_to_global(mesh, P("data", None), target),
+            host_local_to_global(mesh, P("data"), sf),
+        )
     n_data = mesh.shape["data"]
     bsh = batch_sharding(mesh) if X.shape[0] % n_data == 0 else replicated(mesh)
     vsh = (
