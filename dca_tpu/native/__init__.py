@@ -104,6 +104,8 @@ def _load():
     ]
     lib.dca_native_threads.restype = ctypes.c_int
     lib.dca_native_threads.argtypes = []
+    lib.dca_native_set_threads.restype = None
+    lib.dca_native_set_threads.argtypes = [ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -115,6 +117,15 @@ def available() -> bool:
 def n_threads() -> int:
     lib = _load()
     return lib.dca_native_threads() if lib else 1
+
+
+def set_threads(n) -> None:
+    """Cap the native tier's OpenMP pool (the `threads` CLI/API option —
+    reference train.py:41-48 does the same to TF's thread pools).  No-op
+    when the native library is unavailable or n is falsy."""
+    lib = _load()
+    if lib is not None and n:
+        lib.dca_native_set_threads(int(n))
 
 
 def _as_i64(a):

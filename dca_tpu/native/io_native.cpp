@@ -368,6 +368,17 @@ int64_t dca_write_file(const char* path, const char* header,
 
 int dca_native_version() { return 1; }
 
+// Cap the OpenMP thread pool used by every hot loop in this tier — the
+// behavioral hook behind the CLI/API `threads` option (the reference caps
+// TF's intra/inter-op pools the same way, reference dca/train.py:41-48).
+void dca_native_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 int dca_native_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

@@ -151,7 +151,13 @@ def train(
     ``tensorboard=True`` records a jax.profiler trace under
     <output_dir>/tb viewable in TensorBoard (reference train.py:76-79
     analogue)."""
-    del threads  # XLA owns its own threading; accepted for API compatibility
+    if threads:
+        # XLA owns its own device threading; the host-side hot loops (C++
+        # TSV parse/format, CSR densify/gather) honor the cap, matching the
+        # reference's TF thread-pool knob (reference train.py:41-48)
+        from .. import native
+
+        native.set_threads(threads)
     assert network.params is not None, "network.build() must be called before train()"
     if checkpoint_every or resume:
         compiled = False

@@ -172,3 +172,20 @@ def test_loader_uses_native_csr(monkeypatch):
     chunks = list(sd.epoch_chunks(perm))
     got = np.concatenate([c[0] for c in chunks])
     np.testing.assert_array_equal(got, dense[perm])
+
+
+def test_set_threads_caps_pool():
+    """`threads` option reaches the native OpenMP pool (reference caps TF's
+    thread pools the same way, train.py:41-48)."""
+    if not native.available():
+        import pytest
+        pytest.skip("native unavailable")
+    before = native.n_threads()
+    try:
+        native.set_threads(1)
+        assert native.n_threads() == 1
+        native.set_threads(2)
+        assert native.n_threads() == 2
+    finally:
+        native.set_threads(before)
+    native.set_threads(None)  # no-op
