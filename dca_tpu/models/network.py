@@ -209,12 +209,21 @@ class Autoencoder:
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def forward(self, count, size_factors=None):
-        """Eval-mode forward over a full matrix; returns numpy outputs dict."""
+    def forward(self, count, size_factors=None, scale_mean=None,
+                scale_std=None, chunk_rows=32768):
+        """Eval-mode forward over a full matrix; returns numpy outputs dict.
+
+        ``scale_mean``/``scale_std``: deferred z-scale stats from
+        ``normalize(lazy_scale=True)``, applied to each (densified) block
+        before the model — in lazy mode ``adata.X`` still holds raw counts.
+        ``chunk_rows``: rows per device block; matrices larger than this
+        stream through in fixed blocks so a 1M-cell predict never
+        materializes the dense input (or output transfer) all at once.
+        """
         assert self.params is not None, "call build() first"
-        count = _densify(count)
+        n = count.shape[0]
         if size_factors is None:
-            size_factors = np.ones((count.shape[0],), np.float32)
+            size_factors = np.ones((n,), np.float32)
         size_factors = np.asarray(size_factors, np.float32)
         if self._predict_jit is None:
             definition = self.definition
@@ -225,8 +234,28 @@ class Autoencoder:
                 return out
 
             self._predict_jit = _fwd
-        out = self._predict_jit(self.params, self.state, count, size_factors)
-        return {k: _gathered_numpy(v) for k, v in out.items()}
+
+        def block(lo, hi):
+            x = _densify(count[lo:hi])
+            if scale_mean is not None:
+                x = (x - scale_mean) / scale_std
+            out = self._predict_jit(self.params, self.state, x,
+                                    size_factors[lo:hi])
+            return {k: _gathered_numpy(v) for k, v in out.items()}
+
+        if n <= chunk_rows:
+            return block(0, n)
+        pieces = [block(lo, min(lo + chunk_rows, n))
+                  for lo in range(0, n, chunk_rows)]
+        merged = {}
+        for k, v0 in pieces[0].items():
+            if v0 is None:
+                merged[k] = None
+            elif np.ndim(v0) >= 1 and v0.shape[0] == chunk_rows:
+                merged[k] = np.concatenate([p[k] for p in pieces], axis=0)
+            else:  # per-gene constants (e.g. constant dispersion), not per-row
+                merged[k] = v0
+        return merged
 
     def get_encoder(self):
         """Callable (count, size_factors) -> latent, mirroring network.py:179-186."""
@@ -257,6 +286,17 @@ class Autoencoder:
             return np.asarray(adata.obs["size_factors"], np.float32)
         return np.ones((adata.n_obs,), np.float32)
 
+    def _lazy_scale(self, adata):
+        """Deferred z-scale stats when preprocessing ran with
+        ``normalize(lazy_scale=True)`` — adata.X then still holds the RAW
+        matrix, and every pre-denoise forward must apply these.  Post-denoise
+        quirk forwards (NB-conddisp info, network.py:422-430) feed the
+        current X as-is, like the reference."""
+        if "dca_scale_mean" in adata.uns:
+            return (np.asarray(adata.uns["dca_scale_mean"], np.float32),
+                    np.asarray(adata.uns["dca_scale_std"], np.float32))
+        return None, None
+
     def _set_denoised(self, adata, denoised):
         if denoised.shape[1] == adata.n_vars:
             adata.X = denoised
@@ -269,7 +309,7 @@ class Autoencoder:
         assert mode in ("denoise", "latent", "full"), "Unknown mode"
         adata = adata.copy() if copy else adata
 
-        out = self.forward(adata.X, self._sf_of(adata))
+        out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
 
         if mode in ("latent", "full"):
             print("dca_tpu: Calculating low dimensional representations...")
@@ -389,7 +429,9 @@ class Autoencoder:
             if "X_dca_mean_norm" in adata.obsm:
                 mean_norm = adata.obsm["X_dca_mean_norm"]
             else:
-                mean_norm = self.forward(adata.X, self._sf_of(adata))["mean_norm"]
+                mean_norm = self.forward(
+                    adata.X, self._sf_of(adata), *self._lazy_scale(adata)
+                )["mean_norm"]
             write_text_matrix(
                 mean_norm,
                 os.path.join(file_path, "mean_norm.tsv"),
@@ -504,7 +546,7 @@ class ZINBAutoencoder(Autoencoder):
         adata = adata.copy() if copy else adata
         if return_info:
             # info from the INPUT matrix, before denoising (network.py:399-401)
-            out = self.forward(adata.X, self._sf_of(adata))
+            out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
             adata.obsm["X_dca_dispersion"] = out["disp"]
             adata.obsm["X_dca_dropout"] = out["pi"]
         super().predict(adata, mode, return_info, copy=False)
@@ -577,7 +619,7 @@ class ZINBConstantDispAutoencoder(Autoencoder):
         adata = adata.copy() if copy else adata
         if return_info:
             adata.var["X_dca_dispersion"] = self.dispersion()  # network.py:529-531
-            out = self.forward(adata.X, self._sf_of(adata))
+            out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
             adata.obsm["X_dca_dropout"] = out["pi"]
         super().predict(adata, mode, return_info, copy=False)
         return adata if copy else None

@@ -145,3 +145,44 @@ def test_streaming_save_weights(tmp_path):
     # just require a successful, shape-correct round trip
     assert np.asarray(net2.params["heads"]["mean"]["kernel"]).shape == a.shape
     assert np.isfinite(np.asarray(net2.params["heads"]["mean"]["kernel"])).all()
+
+
+def test_lazy_scale_predict_applies_deferred_scaling():
+    """In lazy-scale mode adata.X still holds RAW counts; predict must apply
+    the stored per-gene stats before the forward or every output is wrong."""
+    X = make_counts(150, 20, seed=38)
+    # dense reference pipeline (eager scaling)
+    ad_d = normalize(read_dataset(AnnData(X.copy())))
+    net = AE_types["nb-conddisp"](input_size=20, hidden_size=(8, 4, 8), seed=1)
+    net.build()
+    train(ad_d, net, epochs=3, verbose=False, seed=0, compiled=False)
+    ref = net.forward(ad_d.X, np.asarray(ad_d.obs["size_factors"], np.float32))
+
+    # same weights, lazy-scale adata (raw sparse X + stats in uns)
+    ad_s = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy()))),
+                     lazy_scale=True)
+    assert sp.issparse(ad_s.X)
+    net.predict(ad_s, mode="denoise")
+    np.testing.assert_allclose(np.asarray(ad_s.X), ref["output"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_forward_chunked_matches_single_shot():
+    """Blockwise forward (the 1M-cell predict path) must merge to exactly the
+    single-shot result, for per-row outputs and per-gene constants alike."""
+    X = make_counts(70, 12, seed=39)
+    ad = normalize(read_dataset(AnnData(X)))
+    sf = np.asarray(ad.obs["size_factors"], np.float32)
+    for ae in ("zinb-conddisp", "nb"):  # nb = constant per-gene dispersion
+        net = AE_types[ae](input_size=12, hidden_size=(6, 3, 6), seed=2)
+        net.build()
+        whole = net.forward(ad.X, sf)
+        blocked = net.forward(ad.X, sf, chunk_rows=16)
+        assert set(whole) == set(blocked)
+        for k, v in whole.items():
+            if v is None:
+                assert blocked[k] is None
+            else:
+                assert blocked[k].shape == v.shape, k
+                np.testing.assert_allclose(blocked[k], v, rtol=1e-5,
+                                           atol=1e-6, err_msg=k)
