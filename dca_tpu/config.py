@@ -10,13 +10,13 @@ gene panel is wide (>= 4096 columns, where the kernel measurably beats
 XLA — docs/benchmarks.md), plain XLA otherwise.  Equivalence-tested against
 the XLA path either way.
 
-DCA_TPU_DEVICE_DENSIFY: '1' = the streaming pipeline ships sparse chunks
-as padded CSR payloads (O(nnz) bytes) and densifies on-device with an XLA
-scatter (ops/densify.py), fusing the z-scale epilogue; '0'/'auto'
-(default) = densify on the host via the C++ tier and transfer dense.
-Enable when host->device transfer is the pipeline bottleneck and the data
-is sparse with balanced row occupancy (payload bytes scale with the max
-nnz per row).
+DCA_TPU_DEVICE_DENSIFY: '1'/'0' force whether the streaming pipeline ships
+sparse chunks as padded CSR payloads (O(nnz) bytes) densified on-device by
+an XLA scatter with the z-scale epilogue fused (ops/densify.py), vs
+densifying on the host (C++ tier) and transferring dense.  'auto'
+(default) = on-device for TPU backends — measured 5.9x faster streaming
+epochs at 10% density on v5e (docs/benchmarks.md); the win shrinks as the
+max nnz per row approaches the gene count.
 """
 
 from __future__ import annotations
@@ -53,4 +53,11 @@ def use_fused_dense(n_out=None) -> bool:
 
 
 def use_device_densify() -> bool:
-    return os.environ.get("DCA_TPU_DEVICE_DENSIFY", "auto") == "1"
+    mode = os.environ.get("DCA_TPU_DEVICE_DENSIFY", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
