@@ -6,9 +6,9 @@ pure-JAX/XLA path, 'auto' (default) = fused on TPU backends only.
 DCA_TPU_FUSED_DENSE: '1' force inference Dense->BN->activation blocks and
 output-head epilogues through the fused Pallas kernel (ops/fused_dense.py);
 '0' force plain XLA; 'auto' (default) = fused output heads on TPU when the
-gene panel is wide (>= 4096 columns, where the kernel measurably beats
-XLA — docs/benchmarks.md), plain XLA otherwise.  Equivalence-tested against
-the XLA path either way.
+gene panel is wide (>= 8192 columns, beyond the measured crossover where
+the kernel beats XLA — docs/benchmarks.md), plain XLA otherwise.
+Equivalence-tested against the XLA path either way.
 
 DCA_TPU_DEVICE_DENSIFY: '1'/'0' force whether the streaming pipeline ships
 sparse chunks as padded CSR payloads (O(nnz) bytes) densified on-device by
@@ -45,7 +45,9 @@ def use_fused_dense(n_out=None) -> bool:
         return False
     if mode == "1":
         return True
-    if n_out is None or n_out < 4096:
+    # v5e measurements: 0.93x at G=4096 (XLA wins), 1.17x at G=10240
+    # (fused wins) — crossover sits between, so auto engages at 8192
+    if n_out is None or n_out < 8192:
         return False
     import jax
 
