@@ -1,0 +1,89 @@
+"""Worker for the real 2-process multihost test (test_multiprocess.py).
+
+Each rank: joins the process group, loads ONLY its process_row_range row
+shard, stages it through the shared entry point (shard_train_data routes
+via make_array_from_process_local_data when process_count > 1), runs one
+sharded train step over the global 8-device mesh, gathers results, and
+exercises the sharded TSV writers.  Run as:
+
+    python multiproc_worker.py <rank> <port> <outdir>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+
+import jax  # noqa: E402
+
+rank, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=2,
+    process_id=rank,
+    cluster_detection_method="deactivate",
+)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dca_tpu.models import AE_types  # noqa: E402
+from dca_tpu.parallel import make_mesh, make_sharded_train_step, shard_train_data  # noqa: E402
+from dca_tpu.parallel import multihost  # noqa: E402
+from dca_tpu.train.optim import get_optimizer  # noqa: E402
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+N, G = 64, 16
+rs = np.random.RandomState(7)  # identical on both ranks
+X = rs.normal(size=(N, G)).astype(np.float32)
+T = rs.poisson(3.0, size=(N, G)).astype(np.float32)
+SF = rs.uniform(0.5, 2.0, size=(N,)).astype(np.float32)
+
+net = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=3)
+net.build()
+opt = get_optimizer("RMSprop", clipvalue=5.0)
+
+mesh = make_mesh(jax.devices())  # 8 global devices, pure data parallel
+lo, hi = multihost.process_row_range(N)
+assert (lo, hi) == ((0, 32) if rank == 0 else (32, 64))
+
+# the SAME staging entry point used single-process — multi-host routing is
+# inside shard_train_data
+xs, ts, sfs = shard_train_data(mesh, X[lo:hi], T[lo:hi], SF[lo:hi])
+assert xs.shape == (N, G), xs.shape  # global logical shape
+
+step, place_state = make_sharded_train_step(net, opt, mesh)
+params, state, opt_state = place_state(net.params, net.state, opt.init(net.params))
+params, state, opt_state, loss = step(
+    params, state, opt_state, xs, ts, sfs, jnp.float32(1e-3), jax.random.PRNGKey(0)
+)
+print(f"RANK{rank} LOSS {float(loss):.6f}", flush=True)
+
+# gather a sharded array back to every host (ICI all-gather analogue)
+full_x = multihost.gather_to_host(xs)
+assert full_x.shape == (N, G)
+np.testing.assert_allclose(full_x, X, rtol=1e-6)
+
+# sharded TSV write: each rank writes its rows, rank 0 concatenates
+part = multihost.write_sharded(
+    X[lo:hi], os.path.join(outdir, "mh.tsv"),
+    rownames=[f"c{i}" for i in range(lo, hi)],
+)
+assert part.endswith(f".part{rank}")
+# rank 1's part must exist before rank 0 concatenates: barrier first
+import jax.experimental.multihost_utils as mhu  # noqa: E402
+
+mhu.sync_global_devices("parts-written")
+if multihost.is_primary():
+    path = multihost.concat_shards(os.path.join(outdir, "mh.tsv"),
+                                   n_parts=2, has_header=False)
+    n_lines = sum(1 for _ in open(path))
+    assert n_lines == N, n_lines
+    print("RANK0 CONCAT OK", flush=True)
+mhu.sync_global_devices("done")
+print(f"RANK{rank} DONE", flush=True)
