@@ -229,6 +229,25 @@ def train(
     if mesh is not None:
         from ..parallel.step import shard_train_data
 
+        if jax.process_count() > 1:
+            # multi-host contract: every process calls train() with the SAME
+            # global adata and identical seeds; each stages only its row
+            # block of each split segment (docs/parallelism.md). Splits must
+            # divide evenly over the data axis so the global sharding exists.
+            from ..parallel.multihost import process_row_range
+
+            n_data = mesh.shape["data"]
+            assert n_train % n_data == 0 and n_val % n_data == 0, (
+                f"multi-process training needs train/val row counts divisible "
+                f"by the data axis ({n_data}); got {n_train}/{n_val} — adjust "
+                f"validation_split or pad the dataset"
+            )
+            lo, hi = process_row_range(n_train)
+            X_tr, T_tr, sf_tr = X_tr[lo:hi], T_tr[lo:hi], sf_tr[lo:hi]
+            if has_val:
+                vlo, vhi = process_row_range(n_val)
+                X_val, T_val, sf_val = X_val[vlo:vhi], T_val[vlo:vhi], sf_val[vlo:vhi]
+
         dev_Xtr, dev_Ttr, dev_sftr = shard_train_data(mesh, X_tr, T_tr, sf_tr)
         if has_val:
             dev_Xval, dev_Tval, dev_sfval = shard_train_data(mesh, X_val, T_val, sf_val)
@@ -749,6 +768,13 @@ def _train_streaming(
         )
 
         def _stage(xc, tc, sfc):
+            if jax.process_count() > 1:
+                # each process uploads only its row block of the chunk; the
+                # global sharded chunk is assembled by shard_train_data
+                from ..parallel.multihost import process_row_range
+
+                lo, hi = process_row_range(xc.shape[0])
+                xc, tc, sfc = xc[lo:hi], tc[lo:hi], sfc[lo:hi]
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:

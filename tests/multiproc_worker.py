@@ -85,5 +85,38 @@ if multihost.is_primary():
     n_lines = sum(1 for _ in open(path))
     assert n_lines == N, n_lines
     print("RANK0 CONCAT OK", flush=True)
+mhu.sync_global_devices("parts-done")
+
+# ---- phase 2: the full PUBLIC train()/predict path over the process group.
+# Contract: every process passes the same global adata + seeds; train()
+# stages only this process's row blocks internally (train/loop.py).
+import pandas as pd  # noqa: E402
+
+from dca_tpu.data import normalize, read_dataset  # noqa: E402
+from dca_tpu.data.adata import AnnData  # noqa: E402
+from dca_tpu.train import train  # noqa: E402
+
+rs2 = np.random.RandomState(11)
+counts = rs2.poisson(2.5, size=(N, G)).astype(np.float32)
+counts[:, 0] += 1
+counts[0, :] += 1
+ad = AnnData(
+    counts,
+    pd.DataFrame(index=pd.Index([f"c{i}" for i in range(N)])),
+    pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+)
+ad = normalize(read_dataset(ad, check_counts=False))
+net2 = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net2.build()
+hist = train(ad, net2, epochs=3, batch_size=16, validation_split=0.25,
+             verbose=False, seed=0, devices=jax.devices(), compiled=False,
+             reduce_lr=0, early_stop=0)
+print("RANK%d HIST %s" % (rank, ",".join(f"{v:.6f}" for v in hist.history["loss"])),
+      flush=True)
+net2.predict(ad, mode="denoise")
+den = np.asarray(ad.X)
+assert den.shape == (N, G) and np.isfinite(den).all()
+print(f"RANK{rank} DENOISED_SUM {float(den.sum()):.4f}", flush=True)
+
 mhu.sync_global_devices("done")
 print(f"RANK{rank} DONE", flush=True)
