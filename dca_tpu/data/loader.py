@@ -141,12 +141,19 @@ class StreamingData:
         t = self._component(self.target, idx, self._K_t, False)
         return x, t, self.sf[idx]
 
-    def epoch_chunks(self, perm: np.ndarray) -> Iterator[Tuple[np.ndarray, ...]]:
-        """Yield (x, t, sf, is_full) chunks following ``perm``."""
-        n = len(perm)
+    def index_chunks(self, perm: np.ndarray) -> Iterator[np.ndarray]:
+        """Yield fixed-size index slices of ``perm`` (last may be short).
+
+        Callers materialize each part themselves (possibly only their local
+        row block in multi-process runs, train/loop.py)."""
         c = self.chunk_cells
-        for start in range(0, n, c):
-            idx = perm[start : start + c]
+        for start in range(0, len(perm), c):
+            yield perm[start : start + c]
+
+    def epoch_chunks(self, perm: np.ndarray) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Yield (x, t, sf, is_full) materialized chunks following ``perm``."""
+        c = self.chunk_cells
+        for idx in self.index_chunks(perm):
             x, t, sfc = self.materialize(idx)
             yield x, t, sfc, len(idx) == c
 

@@ -391,13 +391,14 @@ def hyper(args):
     space = tpu_space(args.hyperepoch) if on_tpu else None
     if on_tpu:
         print(
-            f"dca_tpu hyper: TPU backend — each architecturally distinct trial "
-            f"compiles a fresh XLA program (minutes apiece on remote-compile "
-            f"platforms). Using the compile-stable search space (dropout on a "
-            f"0.05 grid) and a persistent compile cache; with --hypern "
-            f"{args.hypern} expect up to ~{min(args.hypern, 9 * 2 * 6 * 2)} "
-            f"unique architectures before TPE converges. Lower --hypern for a "
-            f"cheaper search."
+            f"dca_tpu hyper: TPU backend — every architecturally distinct "
+            f"trial (hidden size x aetype x activation x batchnorm x the two "
+            f"dropout grids) compiles a fresh XLA program, minutes apiece on "
+            f"remote-compile platforms. The quantized space keeps that set "
+            f"finite and TPE concentrates on a few configurations after its "
+            f"~20 startup trials, so later trials mostly hit the persistent "
+            f"compile cache — but budget for up to --hypern ({args.hypern}) "
+            f"compiles worst-case. Lower --hypern for a cheaper search."
         )
 
     adata = read_dataset(args.input, transpose=args.transpose, test_split=False)

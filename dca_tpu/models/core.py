@@ -710,7 +710,7 @@ def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factor
 
     heads = definition.heads
     out: Dict[str, Optional[jax.Array]] = {}
-    fused = _fused_dense_enabled()
+    fused = _fused_dense_enabled(definition.output_size)
     if definition.ae_type == "zinb-elempi":
         z = (
             jnp.dot(

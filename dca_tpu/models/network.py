@@ -105,7 +105,6 @@ class Autoencoder:
         self.params = None
         self.state = None
         self._predict_jit = None
-        self._mesh = None  # set by train(devices=...); used to gather predict outputs
 
     # ------------------------------------------------------------------
     # construction
@@ -334,17 +333,20 @@ class Autoencoder:
         """Pickle the network object to <file_path>/model.pickle
         (network.py:158-162; called pre-build by the reference driver)."""
         if self.file_path:
-            os.makedirs(self.file_path, exist_ok=True)
+            # gather is collective (all processes), file write is rank-0 only
             payload = dict(
                 ae_type=self.ae_type,
                 ctor=self._ctor_config(),
-                params=jax.tree_util.tree_map(np.asarray, self.params)
+                params=jax.tree_util.tree_map(_gathered_numpy, self.params)
                 if self.params is not None
                 else None,
-                state=jax.tree_util.tree_map(np.asarray, self.state)
+                state=jax.tree_util.tree_map(_gathered_numpy, self.state)
                 if self.state is not None
                 else None,
             )
+            if not _is_writer():
+                return
+            os.makedirs(self.file_path, exist_ok=True)
             with open(os.path.join(self.file_path, "model.pickle"), "wb") as f:
                 pickle.dump(payload, f)
 
@@ -370,16 +372,22 @@ class Autoencoder:
         )
 
     def save_weights(self, filename):
-        """Flat HDF5 weight dump (analogue of Keras weights.hdf5)."""
+        """Flat HDF5 weight dump (analogue of Keras weights.hdf5).
+
+        Multi-process safe: gathering mesh-sharded leaves is a collective, so
+        EVERY process materializes them; only rank 0 touches the file."""
         import h5py
 
         flat, _ = jax.tree_util.tree_flatten_with_path(
             {"params": self.params, "state": self.state}
         )
+        gathered = [(path, _gathered_numpy(leaf)) for path, leaf in flat]
+        if not _is_writer():
+            return
         with h5py.File(filename, "w") as f:
-            for path, leaf in flat:
+            for path, leaf in gathered:
                 key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-                f.create_dataset(key, data=np.asarray(leaf))
+                f.create_dataset(key, data=leaf)
 
     def load_weights(self, filename):
         """network.py:164-167 analogue; reads the flat HDF5 dump."""
@@ -429,6 +437,14 @@ class Autoencoder:
             if "X_dca_mean_norm" in adata.obsm:
                 mean_norm = adata.obsm["X_dca_mean_norm"]
             else:
+                # multi-process guard: this fallback forward would be a
+                # collective (mesh-sharded params) that only rank 0 enters —
+                # a deadlock. Require the predict-first flow there.
+                assert jax.process_count() == 1, (
+                    "write() without a prior predict() is not supported in "
+                    "multi-process runs — call predict() first (it captures "
+                    "mean_norm collectively on every process)"
+                )
                 mean_norm = self.forward(
                     adata.X, self._sf_of(adata), *self._lazy_scale(adata)
                 )["mean_norm"]

@@ -46,9 +46,14 @@ def resolve_mesh(devices, model_parallel: int = 1):
     visible device; int N -> the first N devices; or an explicit device
     list.  model_parallel M splits the gene dimension over a model axis of
     size M (the remaining devices form the data axis)."""
-    if devices is None and model_parallel <= 1:
+    if devices is None:
+        # CLI contract: --modelparallel requires --devices; never silently
+        # commandeer every visible device
+        assert model_parallel <= 1, (
+            "model_parallel > 1 requires devices= ('all', an int, or a list)"
+        )
         return None
-    if devices is None or devices is True or devices == "all":
+    if devices is True or devices == "all":
         devices = jax.devices()
     elif isinstance(devices, int):
         avail = jax.devices()

@@ -19,6 +19,15 @@ import jax
 import numpy as np
 
 
+def _to_numpy(leaf):
+    # mesh-sharded leaves need a collective gather (every process runs it)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from ..parallel.multihost import gather_to_host
+
+        return gather_to_host(leaf)
+    return np.asarray(leaf)
+
+
 def _flatten(tree, prefix=""):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     out = {}
@@ -26,7 +35,7 @@ def _flatten(tree, prefix=""):
         key = prefix + "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path
         )
-        out[key] = np.asarray(leaf)
+        out[key] = _to_numpy(leaf)
     return out, treedef
 
 
@@ -49,8 +58,10 @@ class TrainCheckpoint:
         seed: Optional[int] = None,
     ):
         tree = {"params": params, "state": state, "opt_state": opt_state}
-        flat, _ = _flatten(tree)
+        flat, _ = _flatten(tree)  # collective gathers: all processes run this
         path = os.path.join(self.directory, f"ckpt_{step}.npz")
+        if jax.process_index() != 0:
+            return path  # rank 0 owns the files
         tmp = path + ".tmp.npz"
         np.savez(tmp, **flat)
         os.replace(tmp, path)

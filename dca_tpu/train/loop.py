@@ -176,9 +176,9 @@ def train(
 
     from ..parallel.mesh import resolve_mesh
 
+    # predict/write need no mesh handle: sharded outputs are detected via
+    # jax.Array.is_fully_addressable and gathered in network._gathered_numpy
     mesh = resolve_mesh(devices, model_parallel)
-    if mesh is not None:
-        network._mesh = mesh  # predict/write gather through the same mesh
 
     # ----- streaming path for larger-than-device datasets -----
     n_cells, n_genes = adata.n_obs, adata.n_vars
@@ -331,8 +331,18 @@ def _train_inner(
         loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
         return loss
 
+    def rem_step_impl(params, state, opt_state, Xd, Td, SFd, idx, lr_arr, rng):
+        # same batch-sharding constraint as the epoch body — without it the
+        # remainder minibatch replicates on every device of the mesh
+        xb, tb, sfb = constrain_batch(
+            jnp.take(Xd, idx, axis=0),
+            jnp.take(Td, idx, axis=0),
+            jnp.take(SFd, idx, axis=0),
+        )
+        return _step(params, state, opt_state, xb, tb, sfb, lr_arr, rng)
+
     epoch_fn = _checked_jit(epoch_fn, debug)
-    rem_step_fn = _checked_jit(_step, debug)
+    rem_step_fn = _checked_jit(rem_step_impl, debug)
     eval_fn = _checked_jit(eval_fn_impl, debug)
 
     params, state = network.params, network.state
@@ -406,12 +416,9 @@ def _train_inner(
             total_loss += float(jnp.sum(losses_seq)) * bs
         if rem > 0:
             idx = jnp.asarray(perm[n_full * bs :])
-            xb = jnp.take(dev_Xtr, idx, axis=0)
-            tb = jnp.take(dev_Ttr, idx, axis=0)
-            sfb = jnp.take(dev_sftr, idx, axis=0)
             params, state, opt_state, loss = rem_step_fn(
-                params, state, opt_state, xb, tb, sfb, lr_arr,
-                jax.random.fold_in(epoch_rng, n_full),
+                params, state, opt_state, dev_Xtr, dev_Ttr, dev_sftr, idx,
+                lr_arr, jax.random.fold_in(epoch_rng, n_full),
             )
             total_loss += float(loss) * rem
 
@@ -578,6 +585,7 @@ def train_with_args(args):
         clip_grad=args.gradclip,
         save_weights=args.saveweights,
         tensorboard=args.tensorboard,
+        threads=args.threads,
         devices=devices,
         model_parallel=getattr(args, "modelparallel", 1),
     )
@@ -768,13 +776,6 @@ def _train_streaming(
         )
 
         def _stage(xc, tc, sfc):
-            if jax.process_count() > 1:
-                # each process uploads only its row block of the chunk; the
-                # global sharded chunk is assembled by shard_train_data
-                from ..parallel.multihost import process_row_range
-
-                lo, hi = process_row_range(xc.shape[0])
-                xc, tc, sfc = xc[lo:hi], tc[lo:hi], sfc[lo:hi]
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:
@@ -794,6 +795,28 @@ def _train_streaming(
             # scatter (the loader defers host scaling in payload mode)
             return (_to_device(xc, scale_mean is not None),
                     _to_device(tc, False), jnp.asarray(sfc))
+
+    multiproc = mesh is not None and jax.process_count() > 1
+    if multiproc:
+        from ..parallel.multihost import process_row_range
+
+        n_data = mesh.shape["data"]
+
+    def stage_part(sd, idx_part):
+        """Materialize + upload one staged part of a chunk.  Multi-process:
+        each process materializes ONLY its row block (no wasted host
+        densify/z-scale work); shard_train_data assembles the global
+        sharded arrays from the per-process blocks."""
+        if multiproc:
+            assert len(idx_part) % n_data == 0, (
+                f"multi-process streaming needs every staged part divisible "
+                f"by the data axis ({n_data}); got {len(idx_part)} rows — "
+                f"pick batch_size / max_device_cells / split sizes that are "
+                f"multiples of {n_data}"
+            )
+            lo, hi = process_row_range(len(idx_part))
+            idx_part = idx_part[lo:hi]
+        return _stage(*sd.materialize(idx_part))
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
@@ -843,18 +866,18 @@ def _train_streaming(
         lr_arr = jnp.float32(lr)
         total = 0.0
         ci = 0
-        for xc, tc, sfc, is_full in tr.epoch_chunks(perm):
+        for idx_chunk in tr.index_chunks(perm):
             crng = jax.random.fold_in(epoch_rng, ci)
-            n_c = xc.shape[0]
+            n_c = len(idx_chunk)
             nb = n_c // bs
             if nb > 0:
-                xcs, tcs, sfcs = _stage(xc[: nb * bs], tc[: nb * bs], sfc[: nb * bs])
+                xcs, tcs, sfcs = stage_part(tr, idx_chunk[: nb * bs])
                 params, state, opt_state, s = chunk_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr, crng,
                 )
                 total += float(s)
             if n_c - nb * bs > 0:
-                xcs, tcs, sfcs = _stage(xc[nb * bs:], tc[nb * bs:], sfc[nb * bs:])
+                xcs, tcs, sfcs = stage_part(tr, idx_chunk[nb * bs:])
                 params, state, opt_state, s = rem_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
                     jax.random.fold_in(crng, 10_000),
@@ -869,10 +892,10 @@ def _train_streaming(
         if has_val:
             vtot, vn = 0.0, 0
             order = np.arange(va.n)
-            for xc, tc, sfc, _ in va.epoch_chunks(order):
-                xcs, tcs, sfcs = _stage(xc, tc, sfc)
+            for idx_chunk in va.index_chunks(order):
+                xcs, tcs, sfcs = stage_part(va, idx_chunk)
                 vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
-                vn += xc.shape[0]
+                vn += len(idx_chunk)
             val_loss = vtot / max(vn, 1)
             hist.append("val_loss", val_loss)
             monitor = val_loss

@@ -102,3 +102,16 @@ def test_cli_hyper_path(input_tsv, tmp_path):
     main([input_tsv, outdir, "--hyper", "--hypern", "2", "--hyperepoch", "1"])
     assert os.path.exists(os.path.join(outdir, "hyperopt_results", "best.json"))
     assert os.path.exists(os.path.join(outdir, "hyperopt_results", "trials.pickle"))
+
+
+def test_cli_threads_reaches_native(input_tsv, tmp_path, monkeypatch):
+    """--threads must cap the native OpenMP pool (reference caps TF's thread
+    pools via the same flag, train.py:41-48) — regression for the flag
+    silently never reaching train()."""
+    from dca_tpu import native
+
+    calls = []
+    monkeypatch.setattr(native, "set_threads", lambda n: calls.append(n))
+    main([input_tsv, str(tmp_path / "out_t"), "-e", "1", "-s", "8,4,8",
+          "--threads", "2"])
+    assert calls == [2]

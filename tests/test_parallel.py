@@ -259,15 +259,14 @@ def test_cli_devices_flag(tmp_path):
 
 def test_train_devices_leaves_params_on_mesh():
     """After train(devices=8, model_parallel=2) the trained params really
-    live on the mesh: head kernels column-sharded over 'model', and the
-    network carries the mesh for the predict/write path."""
+    live on the mesh: head kernels column-sharded over 'model' (predict/write
+    detect shardedness via jax.Array.is_fully_addressable, no mesh handle)."""
     from dca_tpu.train import train
     from jax.sharding import NamedSharding
 
     ad = _prepped_adata()
     net = _net(G=32, ae_type="zinb-conddisp")
     train(ad, net, epochs=1, verbose=False, seed=0, devices=8, model_parallel=2)
-    assert net._mesh is not None and net._mesh.shape == {"data": 4, "model": 2}
     k = net.params["heads"]["mean"]["kernel"]
     assert isinstance(k.sharding, NamedSharding)
     assert k.sharding.spec == P(None, "model")
