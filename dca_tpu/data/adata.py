@@ -304,7 +304,8 @@ def read_h5ad(path) -> AnnData:
             if rvar is None:
                 rvar = pd.DataFrame(index=pd.Index([str(i) for i in range(rX.shape[1])]))
             raw = Raw(rX, rvar, obs.index if obs is not None else pd.Index([]))
-    ad = AnnData(X, obs, var, obsm=obsm, raw=raw)
+        uns = _read_uns(f["uns"]) if "uns" in f else {}
+    ad = AnnData(X, obs, var, obsm=obsm, uns=uns, raw=raw)
     return ad
 
 
@@ -357,3 +358,37 @@ def write_h5ad(adata: AnnData, path):
             g = f.create_group("raw")
             _write_matrix(g, "X", adata.raw.X)
             _write_df(g, "var", adata.raw.var)
+        if adata.uns:
+            _write_uns(f.create_group("uns"), adata.uns)
+
+
+def _write_uns(grp, mapping):
+    """Serialize uns recursively: dicts -> groups, arrays/lists -> datasets,
+    scalars -> attrs.  Keys like dca_loss_history / dca_scale_mean are part
+    of the pipeline contract and must survive a round trip."""
+    for k, v in mapping.items():
+        if isinstance(v, dict):
+            _write_uns(grp.create_group(str(k)), v)
+        elif isinstance(v, (str, bytes, bool, int, float, np.generic)):
+            grp.attrs[str(k)] = v
+        else:
+            arr = np.asarray(v)
+            if arr.dtype.kind in ("O", "U"):
+                arr = np.asarray([str(x) for x in arr.ravel()], dtype="S").reshape(arr.shape)
+            grp.create_dataset(str(k), data=arr)
+
+
+def _read_uns(grp):
+    import h5py
+
+    out = {}
+    for k, v in grp.attrs.items():
+        out[k] = v.decode() if isinstance(v, bytes) else v
+    for k in grp.keys():
+        node = grp[k]
+        if isinstance(node, h5py.Group):
+            out[k] = _read_uns(node)
+        else:
+            out[k] = _decode(node) if np.asarray(node).dtype.kind in ("S", "O") \
+                else np.asarray(node)
+    return out

@@ -123,14 +123,10 @@ def read_dataset(adata, transpose=False, test_split=False, copy=False, check_cou
 
 
 def _row_sums(X):
-    if sp.issparse(X):
-        return np.asarray(X.sum(axis=1)).ravel()
     return np.asarray(X.sum(axis=1)).ravel()
 
 
 def _col_sums(X):
-    if sp.issparse(X):
-        return np.asarray(X.sum(axis=0)).ravel()
     return np.asarray(X.sum(axis=0)).ravel()
 
 
@@ -139,26 +135,41 @@ def filter_genes(adata, min_counts=1):
     total count >= min_counts; record totals in var['n_counts']."""
     counts = _col_sums(adata.X)
     keep = counts >= min_counts
-    sub = adata[:, keep]
-    sub.var["n_counts"] = counts[keep]
-    _replace_inplace(adata, sub)
+    _subset_inplace(adata, keep, axis=1)
+    adata.var["n_counts"] = counts[keep]
     return adata
 
 
 def filter_cells(adata, min_counts=1):
     counts = _row_sums(adata.X)
     keep = counts >= min_counts
-    sub = adata[keep]
-    sub.obs["n_counts"] = counts[keep]
-    _replace_inplace(adata, sub)
+    _subset_inplace(adata, keep, axis=0)
+    adata.obs["n_counts"] = counts[keep]
     return adata
 
 
-def _replace_inplace(adata, sub):
+def _subset_inplace(adata, keep, axis):
+    """Row/col in-place subset keeping EVERY aligned attribute consistent.
+
+    Real anndata validates `.X` against (n_obs, n_vars), so member-by-member
+    assignment crashes there — use its in-place subset helpers.  The bundled
+    AnnData-lite copies the subset view's members back, including `_raw`
+    (dropping rows from X but not raw would silently row-shift the loss
+    target for every later positional slice)."""
+    if hasattr(adata, "_inplace_subset_obs"):  # real anndata
+        if axis == 0:
+            adata._inplace_subset_obs(np.asarray(keep))
+        else:
+            adata._inplace_subset_var(np.asarray(keep))
+        return adata
+    sub = adata[keep] if axis == 0 else adata[:, keep]
     adata.X = sub.X
     adata.obs = sub.obs
     adata.var = sub.var
     adata.obsm = sub.obsm
+    if getattr(sub, "_raw", None) is not None:
+        adata._raw = sub._raw
+    return adata
 
 
 def normalize_per_cell(adata, counts_per_cell_after=None):
@@ -167,8 +178,7 @@ def normalize_per_cell(adata, counts_per_cell_after=None):
     counts = _row_sums(adata.X)
     keep = counts > 0
     if not np.all(keep):
-        sub = adata[keep]
-        _replace_inplace(adata, sub)
+        _subset_inplace(adata, keep, axis=0)
         counts = counts[keep]
     adata.obs["n_counts"] = counts
     after = (

@@ -153,7 +153,10 @@ def nb_nll(
         + jax.lax.lgamma(y_for_terms + 1.0)
         - jax.lax.lgamma(y_for_terms + theta + eps)
     )  # loss.py:87
-    t2 = (theta + y_for_terms) * jnp.log1p(y_pred / (theta + eps)) + (
+    # log(1.0 + x), NOT log1p: the reference forms 1+x then takes the log
+    # (loss.py:88) and this module is the bit-for-bit op-order oracle; the
+    # Pallas kernel may use log1p (equivalence-tested within tolerance)
+    t2 = (theta + y_for_terms) * jnp.log(1.0 + y_pred / (theta + eps)) + (
         y_for_terms * (jnp.log(theta + eps) - jnp.log(y_pred + eps))
     )  # loss.py:88
 

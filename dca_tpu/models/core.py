@@ -597,7 +597,6 @@ def apply(
     if definition.ae_type == "zinb-elempi":
         # network.py:429-447: z = -Dense(decoder); pi = ElemDense(sigmoid)(z);
         # mean = MeanAct(z)
-        mh = heads["mean"]
         z = (
             jnp.dot(
                 branch_out[definition.branch_of_head["mean"]],

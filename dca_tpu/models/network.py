@@ -209,7 +209,7 @@ class Autoencoder:
     # inference
     # ------------------------------------------------------------------
     def forward(self, count, size_factors=None, scale_mean=None,
-                scale_std=None, chunk_rows=32768):
+                scale_std=None, chunk_rows=32768, keys=None):
         """Eval-mode forward over a full matrix; returns numpy outputs dict.
 
         ``scale_mean``/``scale_std``: deferred z-scale stats from
@@ -218,6 +218,9 @@ class Autoencoder:
         ``chunk_rows``: rows per device block; matrices larger than this
         stream through in fixed blocks so a 1M-cell predict never
         materializes the dense input (or output transfer) all at once.
+        ``keys``: restrict the transferred/merged outputs to these names —
+        at 1M-cell scale every extra (N, G) output is tens of GB of host
+        memory, so predict passes only what its mode needs.
         """
         assert self.params is not None, "call build() first"
         n = count.shape[0]
@@ -240,6 +243,8 @@ class Autoencoder:
                 x = (x - scale_mean) / scale_std
             out = self._predict_jit(self.params, self.state, x,
                                     size_factors[lo:hi])
+            if keys is not None:
+                out = {k: out[k] for k in keys}
             return {k: _gathered_numpy(v) for k, v in out.items()}
 
         if n <= chunk_rows:
@@ -260,7 +265,7 @@ class Autoencoder:
         """Callable (count, size_factors) -> latent, mirroring network.py:179-186."""
 
         def encode(count, size_factors=None):
-            return self.forward(count, size_factors)["latent"]
+            return self.forward(count, size_factors, keys=("latent",))["latent"]
 
         return encode
 
@@ -296,6 +301,24 @@ class Autoencoder:
                     np.asarray(adata.uns["dca_scale_std"], np.float32))
         return None, None
 
+    def _store_dispersion(self, adata):
+        """Constant-dispersion nets: one theta per OUTPUT gene. Lives in var
+        when the output covers all genes (network.py:277-278, 529-531); a
+        denoise-subset run keeps it out of band in uns — the reference
+        crashes on that combination."""
+        d = self.dispersion()
+        if d.size == adata.n_vars:
+            adata.var["X_dca_dispersion"] = d
+        else:
+            adata.uns["dca_subset_dispersion"] = d
+
+    def _stored_dispersion(self, adata):
+        if "X_dca_dispersion" in adata.var_keys():
+            return np.asarray(adata.var["X_dca_dispersion"])
+        if "dca_subset_dispersion" in adata.uns:
+            return np.asarray(adata.uns["dca_subset_dispersion"])
+        return None
+
     def _set_denoised(self, adata, denoised):
         if denoised.shape[1] == adata.n_vars:
             adata.X = denoised
@@ -303,12 +326,25 @@ class Autoencoder:
             # denoise-subset path: keep the narrow matrix out-of-band
             adata.obsm["X_dca_mean"] = denoised
 
-    def predict(self, adata, mode="denoise", return_info=False, copy=False):
-        """network.py:188-211."""
+    _PREDICT_KEYS = {"denoise": ("output", "mean_norm"),
+                     "latent": ("latent",),
+                     "full": ("output", "mean_norm", "latent")}
+
+    def predict(self, adata, mode="denoise", return_info=False, copy=False,
+                _forward_out=None):
+        """network.py:188-211.
+
+        ``_forward_out``: a subclass's already-computed forward over the same
+        pre-denoise input (the model computes every head in one pass, so the
+        info quirks below share it instead of re-running the full matrix)."""
         assert mode in ("denoise", "latent", "full"), "Unknown mode"
         adata = adata.copy() if copy else adata
 
-        out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
+        out = _forward_out
+        if out is None:
+            out = self.forward(adata.X, self._sf_of(adata),
+                               *self._lazy_scale(adata),
+                               keys=self._PREDICT_KEYS[mode])
 
         if mode in ("latent", "full"):
             print("dca_tpu: Calculating low dimensional representations...")
@@ -446,7 +482,8 @@ class Autoencoder:
                     "mean_norm collectively on every process)"
                 )
                 mean_norm = self.forward(
-                    adata.X, self._sf_of(adata), *self._lazy_scale(adata)
+                    adata.X, self._sf_of(adata), *self._lazy_scale(adata),
+                    keys=("mean_norm",),
                 )["mean_norm"]
             write_text_matrix(
                 mean_norm,
@@ -490,7 +527,7 @@ class NBConstantDispAutoencoder(Autoencoder):
         res = super().predict(adata, mode, return_info, copy)
         adata = res if copy else adata
         if return_info:
-            adata.var["X_dca_dispersion"] = self.dispersion()  # network.py:277-278
+            self._store_dispersion(adata)
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
@@ -498,9 +535,10 @@ class NBConstantDispAutoencoder(Autoencoder):
             return
         colnames = adata.var_names.values if colnames is None else colnames
         super().write(adata, file_path, mode, colnames=colnames)
-        if "X_dca_dispersion" in adata.var_keys():  # network.py:287-290
+        disp = self._stored_dispersion(adata)  # network.py:287-290
+        if disp is not None:
             write_text_matrix(
-                np.asarray(adata.var["X_dca_dispersion"]).reshape(1, -1),
+                disp.reshape(1, -1),
                 os.path.join(file_path, "dispersion.tsv"),
                 colnames=colnames,
                 transpose=True,
@@ -517,8 +555,9 @@ class NBAutoencoder(Autoencoder):
         adata = res if copy else adata
         if return_info:
             # Reference order: info computed AFTER denoising, i.e. from the
-            # current (possibly denoised) adata.X (network.py:322-326)
-            out = self.forward(adata.X, self._sf_of(adata))
+            # current (possibly denoised) adata.X (network.py:322-326) — a
+            # genuinely separate forward over a different input
+            out = self.forward(adata.X, self._sf_of(adata), keys=("disp",))
             adata.obsm["X_dca_dispersion"] = out["disp"]
         return adata if copy else None
 
@@ -560,12 +599,16 @@ class ZINBAutoencoder(Autoencoder):
 
     def predict(self, adata, mode="denoise", return_info=False, copy=False):
         adata = adata.copy() if copy else adata
+        # ONE forward serves both the info quirk (pre-denoise input,
+        # network.py:399-401) and the base keys — the pytree model computes
+        # all heads in a single pass, unlike the reference's extra_models
+        keys = self._PREDICT_KEYS[mode] + (("disp", "pi") if return_info else ())
+        out = self.forward(adata.X, self._sf_of(adata),
+                           *self._lazy_scale(adata), keys=keys)
         if return_info:
-            # info from the INPUT matrix, before denoising (network.py:399-401)
-            out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
             adata.obsm["X_dca_dispersion"] = out["disp"]
             adata.obsm["X_dca_dropout"] = out["pi"]
-        super().predict(adata, mode, return_info, copy=False)
+        super().predict(adata, mode, return_info, copy=False, _forward_out=out)
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
@@ -633,21 +676,27 @@ class ZINBConstantDispAutoencoder(Autoencoder):
 
     def predict(self, adata, mode="denoise", return_info=False, copy=False):
         adata = adata.copy() if copy else adata
+        # shared single forward (see ZINBAutoencoder.predict)
+        keys = self._PREDICT_KEYS[mode] + (("pi",) if return_info else ())
+        out = self.forward(adata.X, self._sf_of(adata),
+                           *self._lazy_scale(adata), keys=keys)
         if return_info:
-            adata.var["X_dca_dispersion"] = self.dispersion()  # network.py:529-531
-            out = self.forward(adata.X, self._sf_of(adata), *self._lazy_scale(adata))
+            self._store_dispersion(adata)  # network.py:529-531
             adata.obsm["X_dca_dropout"] = out["pi"]
-        super().predict(adata, mode, return_info, copy=False)
+        super().predict(adata, mode, return_info, copy=False, _forward_out=out)
         return adata if copy else None
 
     def write(self, adata, file_path, mode="denoise", colnames=None):
         if not _is_writer():
             return
         colnames = adata.var_names.values if colnames is None else colnames
-        super().write(adata, file_path, mode)
-        if "X_dca_dispersion" in adata.var_keys():
+        # the reference drops colnames here (network.py:541) which crashes
+        # its own --denoisesubset path; forward it like every sibling class
+        super().write(adata, file_path, mode, colnames=colnames)
+        disp = self._stored_dispersion(adata)
+        if disp is not None:
             write_text_matrix(
-                np.asarray(adata.var["X_dca_dispersion"]).reshape(1, -1),
+                disp.reshape(1, -1),
                 os.path.join(file_path, "dispersion.tsv"),
                 colnames=colnames,
                 transpose=True,

@@ -115,3 +115,19 @@ def test_cli_threads_reaches_native(input_tsv, tmp_path, monkeypatch):
     main([input_tsv, str(tmp_path / "out_t"), "-e", "1", "-s", "8,4,8",
           "--threads", "2"])
     assert calls == [2]
+
+
+def test_cli_denoisesubset_zinb_constant_disp(input_tsv, tmp_path):
+    """--denoisesubset with --type zinb: the constant-dispersion writer must
+    forward the subset column names (the reference drops them and crashes its
+    own subset path, network.py:541)."""
+    genefile = str(tmp_path / "genes.txt")
+    with open(genefile, "w") as f:
+        f.write("\n".join(f"gene{i}" for i in range(0, 10)))
+    outdir = str(tmp_path / "out_sub")
+    main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--type", "zinb",
+          "--denoisesubset", genefile])
+    mean = pd.read_csv(os.path.join(outdir, "mean.tsv"), sep="\t", index_col=0)
+    assert mean.shape == (10, 60)  # gene x cell, subset genes only
+    disp = pd.read_csv(os.path.join(outdir, "dispersion.tsv"), sep="\t", index_col=0)
+    assert np.isfinite(mean.values).all() and np.isfinite(disp.values).all()

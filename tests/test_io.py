@@ -164,3 +164,53 @@ class TestWriters:
         back = read_h5ad(f)
         assert sp.issparse(back.X)
         np.testing.assert_allclose(np.asarray(back.X.todense()), X)
+
+
+def test_normalize_keeps_raw_aligned_when_cells_dropped():
+    """normalize_per_cell drops zero-count cells AFTER raw is snapshotted;
+    raw must shrink with X or every later positional slice row-shifts the
+    loss target (silent corruption)."""
+    from dca_tpu.data.adata import AnnData
+
+    X = make_counts(10, 6, seed=50)
+    X[3, :] = 0.0  # zero-count cell survives gene filtering, dies in sf norm
+    orig = X.copy()
+    ad = normalize(read_dataset(AnnData(X.copy()), check_counts=False),
+                   filter_min_counts=False)
+    assert ad.n_obs == 9
+    assert ad.raw.X.shape[0] == 9
+    expect = np.delete(orig, 3, axis=0)
+    np.testing.assert_array_equal(np.asarray(ad.raw.X), expect)
+
+
+def test_filters_on_real_anndata():
+    """adata.py promises transparent support for the real anndata package;
+    the filters must use its in-place subset API (plain member assignment
+    raises there)."""
+    anndata = pytest.importorskip("anndata")
+
+    X = make_counts(30, 12, seed=51)
+    X[:, 5] = 0.0  # a gene to filter out
+    X[7, :] = 0.0  # a cell to filter out
+    ad = anndata.AnnData(X.copy())
+    ad = normalize(read_dataset(ad, check_counts=False), filter_min_counts=True)
+    assert ad.n_vars == 11 and ad.n_obs == 29
+    assert ad.raw is not None and ad.raw.X.shape[0] == ad.n_obs
+
+
+def test_h5ad_roundtrip_preserves_uns(tmp_path):
+    """uns carries contract keys (dca_loss_history, lazy-scale stats) and
+    must survive write_h5ad/read_h5ad."""
+    from dca_tpu.data.adata import AnnData
+
+    ad = AnnData(make_counts(20, 8, seed=52))
+    ad.uns["dca_loss_history"] = {"loss": np.asarray([3.0, 2.0]),
+                                  "lr": np.asarray([1e-3, 1e-3])}
+    ad.uns["dca_scale_mean"] = np.arange(8, dtype=np.float32)
+    ad.uns["note"] = "hello"
+    path = str(tmp_path / "u.h5ad")
+    write_h5ad(ad, path)
+    back = read_h5ad(path)
+    np.testing.assert_allclose(back.uns["dca_loss_history"]["loss"], [3.0, 2.0])
+    np.testing.assert_allclose(back.uns["dca_scale_mean"], np.arange(8))
+    assert back.uns["note"] == "hello"
