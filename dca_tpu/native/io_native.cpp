@@ -129,6 +129,14 @@ int64_t dca_parse_rows(const char* buf, int64_t len, const int64_t* row_starts,
             while (p < end && *p == '\r') p++;
             if (p < end && *p == sep) {
                 p++;
+                // ragged row with EXTRA fields: pandas raises ParserError,
+                // so the native path must reject it too instead of silently
+                // dropping the surplus values
+                if (c == cols) {
+#pragma omp atomic write
+                    bad = r + 1;
+                    break;
+                }
             } else if (c < cols) {
                 if (p >= end || *p == '\n') {
 #pragma omp atomic write

@@ -61,8 +61,14 @@ def _elem_terms(y, mu, th_raw, pi, ridge):
     if pi is None:
         return nb
     nb_case = nb - jnp.log(1.0 - pi + eps)
-    # pow via exp/log (pow not relied upon in Mosaic); th > 0 always
-    zero_nb = jnp.exp(th * (jnp.log(th) - jnp.log(th + mu + eps)))
+    # pow via exp/log (pow not relied upon in Mosaic); th == 0 would give
+    # 0 * log(0) = NaN, but losses.zinb_nll's jnp.power(0, 0) == 1 — guard
+    # so the kernel stays equivalent on the full input domain
+    zero_nb = jnp.where(
+        th > 0.0,
+        jnp.exp(th * (jnp.log(jnp.maximum(th, eps)) - jnp.log(th + mu + eps))),
+        1.0,
+    )
     zero_case = -jnp.log(pi + (1.0 - pi) * zero_nb + eps)
     res = jnp.where(y < ZERO_THRESHOLD, zero_case, nb_case)
     return res + ridge * pi * pi
@@ -89,10 +95,16 @@ def _elem_grads(y, mu, th_raw, pi, ridge):
         dth = jnp.where(th_raw > THETA_CLIP, 0.0, dth_nb)
         return dmu_nb, dth, None
 
-    z = jnp.exp(th * (jnp.log(th) - jnp.log(th + mu + eps)))
+    # same th == 0 guard as the forward (0*log(0) -> NaN; power(0,0) == 1)
+    safe_th = jnp.maximum(th, eps)
+    z = jnp.where(
+        th > 0.0, jnp.exp(th * (jnp.log(safe_th) - jnp.log(th + mu + eps))), 1.0
+    )
     denom = pi + (1.0 - pi) * z + eps
     dz_dmu = -z * th / (th + mu + eps)
-    dz_dth = z * (jnp.log(th) - jnp.log(th + mu + eps) + 1.0 - th / (th + mu + eps))
+    dz_dth = z * (
+        jnp.log(safe_th) - jnp.log(th + mu + eps) + 1.0 - th / (th + mu + eps)
+    )
     dmu_zero = -(1.0 - pi) * dz_dmu / denom
     dth_zero = -(1.0 - pi) * dz_dth / denom
     dpi_nb = 1.0 / (1.0 - pi + eps)

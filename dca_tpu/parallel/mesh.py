@@ -46,7 +46,11 @@ def resolve_mesh(devices, model_parallel: int = 1):
     visible device; int N -> the first N devices; or an explicit device
     list.  model_parallel M splits the gene dimension over a model axis of
     size M (the remaining devices form the data axis)."""
-    if devices is None:
+    # falsy spellings (None/False/0) all mean "no mesh" — an empty mesh
+    # would only crash later inside device_put with an opaque error
+    if devices is None or devices is False or (
+        isinstance(devices, int) and not isinstance(devices, bool) and devices == 0
+    ):
         # CLI contract: --modelparallel requires --devices; never silently
         # commandeer every visible device
         assert model_parallel <= 1, (
@@ -62,6 +66,7 @@ def resolve_mesh(devices, model_parallel: int = 1):
         )
         devices = avail[:devices]
     devices = list(devices)
+    assert devices, "resolve_mesh: empty device list"
     return make_mesh(devices, model=max(int(model_parallel), 1))
 
 

@@ -62,17 +62,23 @@ class TrainCheckpoint:
         path = os.path.join(self.directory, f"ckpt_{step}.npz")
         if jax.process_index() != 0:
             return path  # rank 0 owns the files
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **flat)
-        os.replace(tmp, path)
         meta = {
             "step": step,
             "lr": lr,
             "seed": seed,
             "callback_state": callback_state or {},
         }
-        with open(os.path.join(self.directory, f"ckpt_{step}.json"), "w") as f:
+        # json sidecar FIRST, then the npz whose presence names the step:
+        # a crash between the two leaves no discoverable half-checkpoint
+        # (restore() also falls back a step on a missing/corrupt sidecar)
+        jpath = os.path.join(self.directory, f"ckpt_{step}.json")
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w") as f:
             json.dump(meta, f)
+        os.replace(jtmp, jpath)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
         self._gc(keep=2)
         return path
 
@@ -101,10 +107,21 @@ class TrainCheckpoint:
     def restore(self, template_tree, step: Optional[int] = None):
         """Restore into the structure of ``template_tree`` (a dict with
         params/state/opt_state of the right shapes). Returns
-        (tree, meta) or (None, None) when no checkpoint exists."""
-        step = self.latest_step() if step is None else step
-        if step is None:
-            return None, None
+        (tree, meta) or (None, None) when no usable checkpoint exists.
+        A step whose npz/json pair is incomplete or corrupt (crash mid-save)
+        is skipped in favor of the previous one."""
+        if step is not None:
+            candidates = [step]
+        else:
+            candidates = list(reversed(self._steps()))
+        for s in candidates:
+            try:
+                return self._restore_step(template_tree, s)
+            except (OSError, KeyError, ValueError, json.JSONDecodeError):
+                continue  # half-written pair: fall back to the previous step
+        return None, None
+
+    def _restore_step(self, template_tree, step):
         data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
         flat, treedef = jax.tree_util.tree_flatten_with_path(template_tree)
         leaves = []

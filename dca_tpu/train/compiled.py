@@ -66,8 +66,12 @@ def build_fit_fn(
             (params, state, opt_state, best_params, best_state, lr, best_monitor,
              rlr_best, es_wait, rlr_wait, epoch, stop, loss_h, val_h, lr_h) = carry
 
+            # the shuffle stream must be disjoint from the dropout streams:
+            # dropout keys are fold_in(fold_in(rng, epoch), step), so tag the
+            # permutation stream with a constant no epoch index can reach
             perm = jax.random.permutation(
-                jax.random.fold_in(jax.random.fold_in(rng, 1), epoch), n_train
+                jax.random.fold_in(jax.random.fold_in(rng, 2**31 - 2), epoch),
+                n_train,
             )
             epoch_rng = jax.random.fold_in(rng, epoch)
 

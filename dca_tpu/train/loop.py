@@ -42,6 +42,76 @@ class History:
         self.history.setdefault(key, []).append(float(value))
 
 
+class _FitCallbacks:
+    """Keras-parity per-epoch callback state shared by the dense and
+    streaming Python loops (reference train.py:62-79): EarlyStopping
+    (patience), ReduceLROnPlateau (factor=0.1, min_delta=1e-4, min_lr=0),
+    best-validation weight saving.  One implementation so the two loops
+    cannot drift apart."""
+
+    FACTOR, MIN_DELTA, MIN_LR = 0.1, 1e-4, 0.0
+
+    def __init__(self, lr, reduce_lr, early_stop, save_weights, output_dir,
+                 network, verbose, monitor_name):
+        self.lr = lr
+        self.reduce_lr = reduce_lr
+        self.early_stop = early_stop
+        self.save_weights = save_weights
+        self.output_dir = output_dir
+        self.network = network
+        self.verbose = verbose
+        self.monitor_name = monitor_name
+        self.best_monitor = math.inf
+        self.es_wait = 0
+        self.rlr_best = math.inf  # ReduceLROnPlateau tracks its own best
+        self.rlr_wait = 0
+
+    def restore(self, meta):
+        self.lr = meta["lr"]
+        cb = meta.get("callback_state", {})
+        self.best_monitor = cb.get("best_monitor", self.best_monitor)
+        self.es_wait = cb.get("es_wait", 0)
+        self.rlr_best = cb.get("rlr_best", self.rlr_best)
+        self.rlr_wait = cb.get("rlr_wait", 0)
+
+    def state_dict(self):
+        return dict(best_monitor=self.best_monitor, es_wait=self.es_wait,
+                    rlr_best=self.rlr_best, rlr_wait=self.rlr_wait)
+
+    def end_epoch(self, epoch, monitor, params, state) -> bool:
+        """Apply all callbacks for one finished epoch; True => stop."""
+        stop = False
+        if monitor < self.best_monitor:
+            self.best_monitor = monitor
+            self.es_wait = 0
+            if self.save_weights and self.output_dir is not None:
+                self.network.params, self.network.state = params, state
+                self.network.save_weights(
+                    os.path.join(self.output_dir, "weights.hdf5")
+                )
+        else:
+            self.es_wait += 1
+            if self.early_stop and self.es_wait >= self.early_stop:
+                if self.verbose:
+                    print(f"Epoch {epoch + 1}: early stopping "
+                          f"({self.monitor_name})")
+                stop = True
+        if self.reduce_lr:
+            if monitor < self.rlr_best - self.MIN_DELTA:
+                self.rlr_best = monitor
+                self.rlr_wait = 0
+            else:
+                self.rlr_wait += 1
+                if self.rlr_wait >= self.reduce_lr:
+                    new_lr = max(self.lr * self.FACTOR, self.MIN_LR)
+                    if self.verbose and new_lr < self.lr:
+                        print(f"Epoch {epoch + 1}: ReduceLROnPlateau "
+                              f"reducing lr to {new_lr:.2e}")
+                    self.lr = new_lr
+                    self.rlr_wait = 0
+        return stop
+
+
 def _densify(X):
     if sp.issparse(X):
         return np.asarray(X.todense(), dtype=np.float32)
@@ -358,13 +428,9 @@ def _train_inner(
     base_rng = jax.random.PRNGKey(seed)
 
     hist = History()
-    best_monitor = math.inf
-    es_wait = 0
-    rlr_best = math.inf  # ReduceLROnPlateau tracks its own best (Keras)
-    rlr_wait = 0
-    rlr_factor, rlr_min_delta, rlr_min_lr = 0.1, 1e-4, 0.0
+    cbs = _FitCallbacks(lr, reduce_lr, early_stop, save_weights, output_dir,
+                        network, verbose, "val_loss" if has_val else "loss")
     stop = False
-    best_saved_params = None
     start_epoch = 0
 
     ckpt = None
@@ -380,12 +446,7 @@ def _train_inner(
                 params, state, opt_state = (
                     tree["params"], tree["state"], tree["opt_state"]
                 )
-                lr = meta["lr"]
-                cb = meta.get("callback_state", {})
-                best_monitor = cb.get("best_monitor", best_monitor)
-                es_wait = cb.get("es_wait", 0)
-                rlr_best = cb.get("rlr_best", rlr_best)
-                rlr_wait = cb.get("rlr_wait", 0)
+                cbs.restore(meta)
                 start_epoch = int(meta["step"]) + 1
                 # replay the shuffle stream so resumed epochs see the same perms
                 for _ in range(start_epoch):
@@ -399,12 +460,10 @@ def _train_inner(
                 if verbose:
                     print(f"dca_tpu: resumed from epoch {start_epoch}")
 
-    monitor_name = "val_loss" if has_val else "loss"
-
     for epoch in range(start_epoch, epochs):
         perm = rng_np.permutation(n_train).astype(np.int32)
         epoch_rng = jax.random.fold_in(base_rng, epoch)
-        lr_arr = jnp.float32(lr)
+        lr_arr = jnp.float32(cbs.lr)
 
         total_loss = 0.0
         if n_full > 0:
@@ -424,7 +483,7 @@ def _train_inner(
 
         train_loss = total_loss / max(n_train, 1)
         hist.append("loss", train_loss)
-        hist.append("lr", lr)
+        hist.append("lr", cbs.lr)
 
         if has_val:
             val_loss = float(eval_fn(params, state, dev_Xval, dev_sfval, dev_Tval))
@@ -437,60 +496,21 @@ def _train_inner(
             msg = f"Epoch {epoch + 1}/{epochs} - loss: {train_loss:.4f}"
             if has_val:
                 msg += f" - val_loss: {val_loss:.4f}"
-            msg += f" - lr: {lr:.2e}"
+            msg += f" - lr: {cbs.lr:.2e}"
             print(msg)
 
         # ----- callbacks (train.py:62-79) -----
-        improved = monitor < best_monitor
-        if improved:
-            best_monitor = monitor
-            es_wait = 0
-            if save_weights and output_dir is not None:
-                network.params, network.state = params, state
-                network.save_weights(os.path.join(output_dir, "weights.hdf5"))
-                best_saved_params = True
-        else:
-            es_wait += 1
-            if early_stop and es_wait >= early_stop:
-                if verbose:
-                    print(f"Epoch {epoch + 1}: early stopping ({monitor_name})")
-                stop = True
-
-        if reduce_lr:
-            if monitor < rlr_best - rlr_min_delta:
-                rlr_best = monitor
-                rlr_wait = 0
-            else:
-                rlr_wait += 1
-                if rlr_wait >= reduce_lr:
-                    new_lr = max(lr * rlr_factor, rlr_min_lr)
-                    if verbose and new_lr < lr:
-                        print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {new_lr:.2e}")
-                    lr = new_lr
-                    rlr_wait = 0
+        stop = cbs.end_epoch(epoch, monitor, params, state)
 
         if ckpt is not None and checkpoint_every and (
             (epoch + 1) % checkpoint_every == 0 or stop or epoch == epochs - 1
         ):
-            ckpt.save(
-                epoch,
-                params,
-                state,
-                opt_state,
-                lr=lr,
-                seed=seed,
-                callback_state=dict(
-                    best_monitor=best_monitor,
-                    es_wait=es_wait,
-                    rlr_best=rlr_best,
-                    rlr_wait=rlr_wait,
-                ),
-            )
+            ckpt.save(epoch, params, state, opt_state, lr=cbs.lr, seed=seed,
+                      callback_state=cbs.state_dict())
 
         if stop:
             break
 
-    del best_saved_params
     network.params, network.state = params, state
     network._predict_jit = None
     return hist
@@ -822,9 +842,8 @@ def _train_streaming(
     base_rng = jax.random.PRNGKey(seed)
 
     hist = History()
-    best_monitor = math.inf
-    es_wait = rlr_wait = 0
-    rlr_best = math.inf
+    cbs = _FitCallbacks(lr, reduce_lr, early_stop, save_weights, output_dir,
+                        network, verbose, "val_loss" if has_val else "loss")
     stop = False
     start_epoch = 0
 
@@ -841,12 +860,7 @@ def _train_streaming(
                 params, state, opt_state = (
                     tree["params"], tree["state"], tree["opt_state"]
                 )
-                lr = meta["lr"]
-                cb = meta.get("callback_state", {})
-                best_monitor = cb.get("best_monitor", best_monitor)
-                es_wait = cb.get("es_wait", 0)
-                rlr_best = cb.get("rlr_best", rlr_best)
-                rlr_wait = cb.get("rlr_wait", 0)
+                cbs.restore(meta)
                 start_epoch = int(meta["step"]) + 1
                 # replay the shuffle stream so resumed epochs see the same perms
                 for _ in range(start_epoch):
@@ -863,7 +877,7 @@ def _train_streaming(
     for epoch in range(start_epoch, epochs):
         perm = rng_np.permutation(n_train)
         epoch_rng = jax.random.fold_in(base_rng, epoch)
-        lr_arr = jnp.float32(lr)
+        lr_arr = jnp.float32(cbs.lr)
         total = 0.0
         ci = 0
         for idx_chunk in tr.index_chunks(perm):
@@ -880,14 +894,16 @@ def _train_streaming(
                 xcs, tcs, sfcs = stage_part(tr, idx_chunk[nb * bs:])
                 params, state, opt_state, s = rem_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
-                    jax.random.fold_in(crng, 10_000),
+                    # scan step keys are fold_in(crng, step) — tag the
+                    # remainder with a constant no step index can reach
+                    jax.random.fold_in(crng, 2**31 - 1),
                 )
                 total += float(s)
             ci += 1
 
         train_loss = total / max(n_train, 1)
         hist.append("loss", train_loss)
-        hist.append("lr", lr)
+        hist.append("lr", cbs.lr)
 
         if has_val:
             vtot, vn = 0.0, 0
@@ -906,45 +922,15 @@ def _train_streaming(
             msg = f"Epoch {epoch + 1}/{epochs} - loss: {train_loss:.4f}"
             if has_val:
                 msg += f" - val_loss: {monitor:.4f}"
-            print(msg + f" - lr: {lr:.2e} [streaming]")
+            print(msg + f" - lr: {cbs.lr:.2e} [streaming]")
 
-        if monitor < best_monitor:
-            best_monitor = monitor
-            es_wait = 0
-            if save_weights and output_dir is not None:
-                network.params, network.state = params, state
-                network.save_weights(os.path.join(output_dir, "weights.hdf5"))
-        else:
-            es_wait += 1
-            if early_stop and es_wait >= early_stop:
-                stop = True
-        if reduce_lr:
-            if monitor < rlr_best - 1e-4:
-                rlr_best = monitor
-                rlr_wait = 0
-            else:
-                rlr_wait += 1
-                if rlr_wait >= reduce_lr:
-                    lr = lr * 0.1
-                    rlr_wait = 0
+        stop = cbs.end_epoch(epoch, monitor, params, state)
 
         if ckpt is not None and checkpoint_every and (
             (epoch + 1) % checkpoint_every == 0 or stop or epoch == epochs - 1
         ):
-            ckpt.save(
-                epoch,
-                params,
-                state,
-                opt_state,
-                lr=lr,
-                seed=seed,
-                callback_state=dict(
-                    best_monitor=best_monitor,
-                    es_wait=es_wait,
-                    rlr_best=rlr_best,
-                    rlr_wait=rlr_wait,
-                ),
-            )
+            ckpt.save(epoch, params, state, opt_state, lr=cbs.lr, seed=seed,
+                      callback_state=cbs.state_dict())
 
         if stop:
             break

@@ -82,3 +82,24 @@ def test_checkpoint_dir_created(tmp_path, prepped):
           output_dir=out, checkpoint_every=2, reduce_lr=0, early_stop=0)
     assert os.path.isdir(os.path.join(out, "checkpoints"))
     assert TrainCheckpoint(os.path.join(out, "checkpoints")).latest_step() is not None
+
+
+def test_restore_falls_back_on_torn_checkpoint(tmp_path):
+    """A crash between the json sidecar and the npz (or a deleted sidecar)
+    must not break resume: restore() falls back to the previous intact
+    step."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dca_tpu.train.checkpoint import TrainCheckpoint
+
+    tree = {"params": {"w": jnp.arange(3.0)}, "state": {}, "opt_state": {}}
+    ck = TrainCheckpoint(str(tmp_path))
+    ck.save(0, tree["params"], tree["state"], tree["opt_state"], lr=1e-3)
+    ck.save(1, {"w": jnp.arange(3.0) + 10}, {}, {}, lr=1e-4)
+    # tear step 1: sidecar gone
+    os.remove(str(tmp_path / "ckpt_1.json"))
+    got, meta = ck.restore(tree)
+    assert meta["step"] == 0 and meta["lr"] == 1e-3
+    assert float(got["params"]["w"][2]) == 2.0

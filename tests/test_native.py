@@ -189,3 +189,15 @@ def test_set_threads_caps_pool():
     finally:
         native.set_threads(before)
     native.set_threads(None)  # no-op
+
+
+def test_parse_rejects_extra_fields():
+    """A ragged row with MORE fields than the header must not parse silently
+    (pandas raises ParserError; the native path returns None to defer)."""
+    if not native.available():
+        import pytest
+        pytest.skip("native unavailable")
+    good = b"\tc0\tc1\ng0\t1\t2\ng1\t3\t4\n"
+    assert native.parse_text_matrix(good) is not None
+    ragged = b"\tc0\tc1\ng0\t1\t2\ng1\t3\t4\t5\n"
+    assert native.parse_text_matrix(ragged) is None
