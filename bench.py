@@ -20,6 +20,7 @@ device the entire 300-epoch fit is a single XLA program
 (dca_tpu/train/compiled.py).  Set DCA_TPU_BENCH_SKIP_BIG=1 to skip (2).
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -37,7 +38,11 @@ import jax.numpy as jnp
 
 def make_splatter_like(n_cells=2000, n_genes=200, seed=42):
     """Synthetic ZINB counts mimicking the tutorial's splatter sim
-    (2 groups, dropout) — scripts/simulate.R:39-87."""
+    (2 groups, dropout) — scripts/simulate.R:39-87.
+
+    Deliberately NOT swapped for dca_tpu.data.simulate: this exact generator
+    defines the benchmark workload measured since round 1, and changing the
+    data would break vs_baseline comparability across rounds."""
     rs = np.random.RandomState(seed)
     n_half = n_cells // 2
     base = rs.gamma(2.0, 1.0, size=(1, n_genes))
@@ -154,6 +159,20 @@ def run_config(counts, label):
 
 
 def main():
+    # stdout carries EXACTLY one JSON line (driver contract); the pipeline's
+    # informational prints (read_dataset etc.) go to stderr instead
+    with contextlib.redirect_stdout(sys.stderr):
+        result, cps_big = _run_all()
+    if cps_big is not None:
+        print(
+            f"bench[2730x3451]: {cps_big:.1f} cells/s end-to-end "
+            f"(vs 59 cells/s reference baseline: {cps_big / 59.0:.1f}x)",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+
+
+def _run_all():
     # 1. tutorial workload -> the JSON contract line
     cells_per_sec = run_config(make_splatter_like(2000, 200)[0], "2000x200")
     baseline = 2000.0 / 24.0  # tutorial.ipynb cell 11: 24 s end-to-end on CPU
@@ -165,18 +184,13 @@ def main():
     }
 
     # 2. Paul15 shape (3.4k genes) -> stderr (baseline 59 cells/s on CPU)
+    cps_big = None
     if not os.environ.get("DCA_TPU_BENCH_SKIP_BIG"):
         try:
             cps_big = run_config(make_paul15_like(), "2730x3451")
-            print(
-                f"bench[2730x3451]: {cps_big:.1f} cells/s end-to-end "
-                f"(vs 59 cells/s reference baseline: {cps_big / 59.0:.1f}x)",
-                file=sys.stderr,
-            )
         except Exception as e:  # the JSON contract line must still be emitted
             print(f"bench[2730x3451]: FAILED {e!r}", file=sys.stderr)
-
-    print(json.dumps(result))
+    return result, cps_big
 
 
 if __name__ == "__main__":

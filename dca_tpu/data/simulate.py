@@ -109,17 +109,23 @@ def simulation_grid(
     n_cells: int = 2000, n_genes: int = 200, seed: int = 42
 ) -> Iterator[Tuple[str, Simulation]]:
     """The reference evaluation grid (scripts/simulate.R:39-52):
-    dropout.mid ∈ {0, 1, 3, 5} × groups ∈ {1, 2, 3, 6}."""
+    dropout.mid ∈ {0, 1, 3, 5} × groups ∈ {1, 2, 3, 6} × swap ∈ {F, T},
+    where swap exchanges the cell/gene counts (the 200-cell × 2000-gene
+    regime stressing genes ≫ cells)."""
     for mid in (0.0, 1.0, 3.0, 5.0):
         for groups in (1, 2, 3, 6):
-            name = f"sim-drop{int(mid)}-group{groups}"
-            yield name, simulate_counts(
-                n_cells=n_cells,
-                n_genes=n_genes,
-                n_groups=groups,
-                dropout_mid=mid,
-                seed=seed,
-            )
+            for swap in (False, True):
+                nc, ng = (n_genes, n_cells) if swap else (n_cells, n_genes)
+                name = f"sim-drop{int(mid)}-group{groups}" + (
+                    "-swap" if swap else ""
+                )
+                yield name, simulate_counts(
+                    n_cells=nc,
+                    n_genes=ng,
+                    n_groups=groups,
+                    dropout_mid=mid,
+                    seed=seed,
+                )
 
 
 def to_anndata(sim: Simulation):

@@ -72,14 +72,29 @@ def estimate_theta_moments(X):
     X = _dense(X)
     mu = X.mean(0)
     var = X.var(0)
-    num = (mu**2).sum()
-    den = np.maximum((var - mu), 1e-10) @ np.ones_like(mu)
     # least squares of var - mu ~ mu^2 / theta
     coef = np.linalg.lstsq(
         (mu**2).reshape(-1, 1), np.maximum(var - mu, 1e-10), rcond=None
     )[0][0]
     theta = 1.0 / max(coef, 1e-10)
     return float(theta)
+
+
+def _adam_minimize(loss, p0, maxiter=2000, lr=0.05, b1=0.9, b2=0.999,
+                   eps=1e-8):
+    """Shared scalar-parameter Adam loop for the diagnostic ML fits."""
+    p = jnp.asarray(p0, jnp.float32)
+    m = jnp.zeros_like(p)
+    v = jnp.zeros_like(p)
+    g_fn = jax.jit(jax.value_and_grad(loss))
+    for t_i in range(1, maxiter + 1):
+        _, g = g_fn(p)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g**2
+        mhat = m / (1 - b1**t_i)
+        vhat = v / (1 - b2**t_i)
+        p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return p
 
 
 def fit_zinb(y, maxiter=2000, lr=0.05, seed=0):
@@ -102,18 +117,8 @@ def fit_zinb(y, maxiter=2000, lr=0.05, seed=0):
         pp = jnp.broadcast_to(pi, y.shape)
         return zinb_nll(y, m, t, pp)
 
-    p = jnp.asarray([np.log(y.mean() + 1e-3), 0.0, 0.0], jnp.float32)
-    m = jnp.zeros_like(p)
-    v = jnp.zeros_like(p)
-    g_fn = jax.jit(jax.value_and_grad(loss))
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    for t_i in range(1, maxiter + 1):
-        val, g = g_fn(p)
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g**2
-        mhat = m / (1 - b1**t_i)
-        vhat = v / (1 - b2**t_i)
-        p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+    p = _adam_minimize(loss, [np.log(y.mean() + 1e-3), 0.0, 0.0],
+                       maxiter=maxiter, lr=lr)
     mu, theta, pi = (float(x) for x in unpack(p))
     return {"mu": mu, "theta": theta, "pi": pi, "nll": float(loss(p))}
 
@@ -129,15 +134,7 @@ def zero_inflation_test(y, maxiter=2000):
         theta = jnp.exp(p[1])
         return nb_nll(y, jnp.broadcast_to(mu, y.shape), jnp.broadcast_to(theta, y.shape))
 
-    p = jnp.asarray([np.log(y.mean() + 1e-3), 0.0], jnp.float32)
-    g_fn = jax.jit(jax.value_and_grad(nb_loss))
-    m = jnp.zeros_like(p)
-    v = jnp.zeros_like(p)
-    for t_i in range(1, maxiter + 1):
-        val, g = g_fn(p)
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g**2
-        p = p - 0.05 * (m / (1 - 0.9**t_i)) / (jnp.sqrt(v / (1 - 0.999**t_i)) + 1e-8)
+    p = _adam_minimize(nb_loss, [np.log(y.mean() + 1e-3), 0.0], maxiter=maxiter)
     nb_nll_val = float(nb_loss(p))
     n = y.size
     ll_full = -z["nll"] * n
@@ -208,9 +205,12 @@ def plot_mean_dropout(adata, out_file=None):
     return fig
 
 
-def plot_zeroinf(adata, out_file=None, maxiter=500):
-    """Zero-inflation check: empirical zero fraction vs ZINB fit per gene
-    quantile bins (utils.py:98-117 spirit)."""
+def plot_zeroinf(adata, out_file=None):
+    """Zero-inflation check (utils.py:98-117 spirit): per-gene EXCESS zero
+    fraction — empirical zeros minus the NB expectation at a moment-estimated
+    global theta — against the gene mean.  Points above zero indicate
+    zero-inflation.  (No per-bin ZINB fit is performed; use
+    :func:`zero_inflation_test` for a formal LRT.)"""
     plt = _plt()
     X = _dense(adata.X if not hasattr(adata, "raw") or adata.raw is None else adata.raw.X)
     mu = X.mean(0)

@@ -239,9 +239,11 @@ def _objective(adata_orig, config, debug=False, verbose=False, batch_size=32, se
     from .train.loop import train
 
     ad = adata_orig.copy()
+    # reference data_fn uses normalize's defaults, which FILTER zero-count
+    # genes/cells per trial (hyper.py:44-55 -> io.py:90-92)
     ad = normalize(
         ad,
-        filter_min_counts=False,
+        filter_min_counts=True,
         size_factors=config["norm_input_sf"],
         logtrans_input=config["norm_input_log"],
         normalize_input=config["norm_input_zeromean"],
@@ -271,6 +273,7 @@ def _objective(adata_orig, config, debug=False, verbose=False, batch_size=32, se
         optimizer="RMSprop",
         learning_rate=config["lr"],
         epochs=config["epochs"],
+        batch_size=batch_size,
         clip_grad=5.0,
         validation_split=0.2,
         reduce_lr=0,
@@ -292,6 +295,7 @@ def hyper_search(
     space: Optional[dict] = None,
     objective=None,
     verbose=True,
+    debug=False,
 ):
     """Run the TPE search; writes trials.pickle + best.json like the
     reference (hyper.py:103-108). Returns (best_config, best_loss, trials)."""
@@ -299,7 +303,11 @@ def hyper_search(
     tpe = TPE(space, seed=seed)
     results_dir = os.path.join(output_dir, "hyperopt_results")
     os.makedirs(results_dir, exist_ok=True)
-    objective = objective or (lambda cfg: _objective(adata, cfg, seed=seed))
+    # debug reaches each trial's network like the reference model_fn's
+    # debug=args.debug (hyper.py:72)
+    objective = objective or (
+        lambda cfg: _objective(adata, cfg, debug=debug, seed=seed)
+    )
 
     best_cfg, best_loss = None, float("inf")
     for i in range(n_trials):
@@ -321,7 +329,10 @@ def hyper_search(
         pickle.dump(tpe.trials, f)
     with open(os.path.join(results_dir, "best.json"), "wt") as f:
         json.dump(
-            {"loss": best_loss, "config": _jsonable(best_cfg)},
+            # a bare Infinity is not valid JSON — every-trial-failed searches
+            # record loss: null instead
+            {"loss": best_loss if math.isfinite(best_loss) else None,
+             "config": _jsonable(best_cfg)},
             f,
             sort_keys=True,
             indent=4,
@@ -353,7 +364,7 @@ def retrain_best(adata, best_cfg, seed=0):
     ad = adata.copy()
     ad = normalize(
         ad,
-        filter_min_counts=False,
+        filter_min_counts=True,  # same preprocessing as the trial objective
         size_factors=best_cfg["norm_input_sf"],
         logtrans_input=best_cfg["norm_input_log"],
         normalize_input=best_cfg["norm_input_zeromean"],
@@ -408,6 +419,7 @@ def hyper(args):
         hyperepoch=args.hyperepoch,
         output_dir=args.outputdir,
         space=space,
+        debug=args.debug,
     )
     print({"loss": best_loss, "config": _jsonable(best_cfg)})
     return best_cfg

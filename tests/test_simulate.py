@@ -53,9 +53,13 @@ def test_ensure_nonzero_keeps_mask_consistent():
 
 
 def test_grid_matches_reference_sweep():
-    names = [name for name, _ in simulation_grid(n_cells=20, n_genes=10)]
-    assert len(names) == 16  # 4 dropout mids x 4 group counts
-    assert "sim-drop3-group2" in names
+    grid = dict(simulation_grid(n_cells=20, n_genes=10))
+    # 4 dropout mids x 4 group counts x swap in {F, T} (simulate.R:39-52)
+    assert len(grid) == 32
+    assert "sim-drop3-group2" in grid
+    assert grid["sim-drop3-group2"].counts.shape == (20, 10)
+    # swap exchanges the cell/gene counts (the genes >> cells regime)
+    assert grid["sim-drop3-group2-swap"].counts.shape == (10, 20)
 
 
 def test_to_anndata():
