@@ -163,10 +163,15 @@ class TPE:
         self.trials.append({"config": config, "loss": float(loss)})
 
     def _split(self):
+        # failed (non-finite) trials join the BAD set: dropping them entirely
+        # makes the l/g score favor exactly the unexplored failure region
+        # (density of both models ~0 there, ratio maximal) and the search
+        # walks into the crash zone forever
         ok = [t for t in self.trials if math.isfinite(t["loss"])]
+        failed = [t for t in self.trials if not math.isfinite(t["loss"])]
         ok.sort(key=lambda t: t["loss"])
         n_good = max(1, int(np.ceil(self.gamma * len(ok))))
-        return ok[:n_good], ok[n_good:]
+        return ok[:n_good], ok[n_good:] + failed
 
     # -- proposal ----------------------------------------------------------
     def suggest(self):

@@ -95,7 +95,12 @@ def test_loss_history_in_uns(adata):
 def test_fork_types_end_to_end(adata):
     for ae_type in ("nb-fork", "zinb-fork", "nb-shared", "zinb-shared", "poisson"):
         ret = dca(adata, ae_type=ae_type, copy=True, epochs=EPOCHS, verbose=False)
-        assert ret.X.shape == adata.shape
+        denoised = np.asarray(ret.X)
+        assert denoised.shape == adata.shape
+        assert np.isfinite(denoised).all(), ae_type
+        assert (denoised >= 0).all(), ae_type
+        # denoise mode must actually overwrite X (network.py:199-203)
+        assert not np.allclose(denoised, np.asarray(adata.X)), ae_type
 
 
 def test_nb_conddisp_dispersion_from_denoised_matrix(adata):

@@ -36,8 +36,19 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.save(5, tree["params"], tree["state"], tree["opt_state"], lr=0.01,
               callback_state={"es_wait": 2}, seed=7)
     assert ckpt.latest_step() == 5
-    restored, meta = ckpt.restore(tree)
+    # restore into a template with DIFFERENT values: a restore() that merely
+    # echoes the template back must fail here
+    template = {
+        "params": {"a": jnp.zeros(4), "b": {"c": jnp.zeros((2, 3))}},
+        "state": {},
+        "opt_state": {"m": jnp.full(4, -1.0)},
+    }
+    restored, meta = ckpt.restore(template)
     np.testing.assert_array_equal(np.asarray(restored["params"]["a"]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(restored["params"]["b"]["c"]),
+                                  np.ones((2, 3)))
+    np.testing.assert_array_equal(np.asarray(restored["opt_state"]["m"]),
+                                  np.zeros(4))
     assert meta["lr"] == 0.01
     assert meta["callback_state"]["es_wait"] == 2
 

@@ -79,10 +79,24 @@ def test_cli_nb_type(input_tsv, tmp_path):
     assert disp.shape[0] == 20  # gene-wise constant dispersion, transposed
 
 
-def test_cli_testsplit(input_tsv, tmp_path):
+def test_cli_testsplit(input_tsv, tmp_path, monkeypatch):
+    """--testsplit must actually hold out a 10% test fold: training sees
+    only the 'train' rows of obs['dca_split'] (reference io.py:74-82)."""
+    import dca_tpu.train.loop as loop
+
+    seen = {}
+    real_train = loop.train
+
+    def spy(adata, *a, **k):
+        seen["n_train_rows"] = adata.n_obs
+        return real_train(adata, *a, **k)
+
+    monkeypatch.setattr(loop, "train", spy)
     outdir = str(tmp_path / "out_split")
     main([input_tsv, outdir, "-e", "1", "-s", "8,4,8", "--testsplit"])
     assert os.path.exists(os.path.join(outdir, "mean.tsv"))
+    # 60 cells -> 54 train / 6 test (train_test_split test_size=0.1)
+    assert seen["n_train_rows"] == 54
 
 
 def test_cli_denoisesubset(input_tsv, tmp_path):

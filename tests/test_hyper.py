@@ -85,13 +85,18 @@ def test_tpe_converges_on_quadratic():
 
 
 def test_tpe_handles_failures():
+    """inf-loss (failed) trials must not poison the model: with loss = x for
+    successful trials and failures above 0.6, late proposals still steer
+    toward small x."""
     space = {"x": Uniform(0, 1)}
-    tpe = TPE(space, seed=1, n_startup=5)
-    for i in range(10):
+    tpe = TPE(space, seed=1, n_startup=8)
+    for _ in range(60):
         cfg = tpe.suggest()
-        tpe.observe(cfg, float("inf") if i % 2 else cfg["x"])
-    cfg = tpe.suggest()
-    assert 0 <= cfg["x"] <= 1
+        loss = float("inf") if cfg["x"] > 0.6 else cfg["x"]
+        tpe.observe(cfg, loss)
+    late = [t["config"]["x"] for t in tpe.trials[-20:]]
+    assert all(0 <= x <= 1 for x in late)
+    assert np.mean(late) < 0.45, np.mean(late)
 
 
 def test_hyper_search_end_to_end(tmp_path):

@@ -129,6 +129,10 @@ class TestWriters:
         write_text_matrix(m, f, rownames=["r1", "r2"], colnames=["c1", "c2"])
         df = pd.read_csv(f, sep="\t", index_col=0)
         assert df.loc["r1", "c1"] == pytest.approx(1.234568)  # %.6f
+        # the %.6f fixed format itself must appear in the file bytes — a
+        # full-precision write would still pass the approx check above
+        text = open(f).read()
+        assert "1.234568\t" in text and "2.000000" in text, text
         # transpose swaps names (io.py:121-123)
         f2 = str(tmp_path / "t.tsv")
         write_text_matrix(m, f2, rownames=["r1", "r2"], colnames=["c1", "c2"], transpose=True)

@@ -114,6 +114,7 @@ def test_elempi_couples_mean_and_pi():
     # invert MeanAct where unclipped: z = log(mean)
     z = np.log(mean)
     interior = (mean > 1.01e-5) & (mean < 0.99e6)
+    assert interior.any(), "all means clipped — the coupling check is vacuous"
     expected_pi = 1.0 / (1.0 + np.exp(-(z * k + b)))
     np.testing.assert_allclose(pi[interior], expected_pi[interior], rtol=1e-4)
 

@@ -160,6 +160,7 @@ def test_gather_rows_matches_numpy():
 
 
 def test_loader_uses_native_csr(monkeypatch):
+    from dca_tpu.data import loader
     from dca_tpu.data.loader import StreamingData
 
     rs = np.random.RandomState(8)
@@ -167,11 +168,20 @@ def test_loader_uses_native_csr(monkeypatch):
         np.float32
     )
     csr = sp.csr_matrix(dense)
+    del loader  # the loader resolves `native.densify_rows` per call
+    # spy: the loader must actually route CSR batches through the C++ tier
+    calls = []
+    real = native.densify_rows
+    monkeypatch.setattr(
+        native, "densify_rows",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
     sd = StreamingData(csr, csr, np.ones(25, np.float32), chunk_cells=10)
     perm = rs.permutation(25)
     chunks = list(sd.epoch_chunks(perm))
     got = np.concatenate([c[0] for c in chunks])
     np.testing.assert_array_equal(got, dense[perm])
+    assert calls, "native densify_rows was never invoked"
 
 
 def test_set_threads_caps_pool():

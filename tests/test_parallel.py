@@ -107,14 +107,21 @@ def test_graft_entry_single():
     assert all(np.all(np.isfinite(np.asarray(o))) for o in out)
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_dryrun(capsys):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+    out8 = capsys.readouterr().out
+    assert "8 devices" in out8 and "data=4 model=2" in out8
+    # the one-step loss it reports must be a finite number
+    loss = float(out8.rsplit("loss=", 1)[1].split()[0])
+    assert np.isfinite(loss)
     __graft_entry__.dryrun_multichip(4)
+    out4 = capsys.readouterr().out
+    assert "4 devices" in out4
 
 
 def test_write_sharded_concat(tmp_path):

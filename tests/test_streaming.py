@@ -29,15 +29,24 @@ def test_lazy_scale_stats_match_dense():
 
 def test_streaming_chunks_cover_everything():
     X = make_counts(105, 10, seed=31)
-    sd = StreamingData(sp.csr_matrix(X), X, np.ones(105, np.float32), chunk_cells=32)
+    target = X * 3.0  # distinct from X so x/t swaps are caught
+    sf = np.arange(105, dtype=np.float32) + 1.0
+    sd = StreamingData(sp.csr_matrix(X), target, sf, chunk_cells=32)
     perm = np.random.RandomState(0).permutation(105)
-    seen = []
+    seen, xs, ts, sfs = [], [], [], []
     for xc, tc, sfc, is_full in sd.epoch_chunks(perm):
         assert xc.shape[1] == 10
         assert xc.dtype == np.float32
         seen.append(xc.shape[0])
+        xs.append(xc)
+        ts.append(tc)
+        sfs.append(sfc)
     assert sum(seen) == 105
     assert seen[:-1] == [32, 32, 32]
+    # contents follow the permutation, for input, target AND size factors
+    np.testing.assert_array_equal(np.concatenate(xs), X[perm])
+    np.testing.assert_array_equal(np.concatenate(ts), target[perm])
+    np.testing.assert_array_equal(np.concatenate(sfs), sf[perm])
 
 
 def test_streaming_scale_applied():

@@ -82,9 +82,16 @@ def test_batch_remainder_handling(prepped):
 
 
 def test_use_raw_as_output_false(prepped):
+    """use_raw_as_output=False targets the NORMALIZED X, not raw counts —
+    the loss trajectory must actually differ from the default."""
     net = _net("poisson")
-    hist = train(prepped, net, epochs=2, use_raw_as_output=True, verbose=False, seed=0)
+    hist = train(prepped, net, epochs=2, use_raw_as_output=False, verbose=False,
+                 seed=0)
     assert np.isfinite(hist.history["loss"]).all()
+    net2 = _net("poisson")
+    hist2 = train(prepped, net2, epochs=2, use_raw_as_output=True,
+                  verbose=False, seed=0)
+    assert not np.allclose(hist.history["loss"], hist2.history["loss"])
 
 
 def test_output_subset(prepped):
