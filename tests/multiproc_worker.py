@@ -118,5 +118,21 @@ den = np.asarray(ad.X)
 assert den.shape == (N, G) and np.isfinite(den).all()
 print(f"RANK{rank} DENOISED_SUM {float(den.sum()):.4f}", flush=True)
 
+# ---- phase 3: the STREAMING trainer over the process group (each process
+# materializes only its row block of every staged part, train/loop.py)
+ad3 = AnnData(
+    counts.copy(),
+    pd.DataFrame(index=pd.Index([f"c{i}" for i in range(N)])),
+    pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+)
+ad3 = normalize(read_dataset(ad3, check_counts=False))
+net3 = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net3.build()
+hist3 = train(ad3, net3, epochs=2, batch_size=16, validation_split=0.25,
+              verbose=False, seed=0, devices=jax.devices(), compiled=False,
+              reduce_lr=0, early_stop=0, max_device_cells=32)
+print("RANK%d SHIST %s" % (rank, ",".join(f"{v:.6f}" for v in hist3.history["loss"])),
+      flush=True)
+
 mhu.sync_global_devices("done")
 print(f"RANK{rank} DONE", flush=True)

@@ -109,6 +109,42 @@ def test_two_process_mesh_end_to_end(tmp_path):
     d0, d1 = float(grab("DENOISED_SUM", outs[0])), float(grab("DENOISED_SUM", outs[1]))
     assert abs(d0 - d1) / abs(d0) < 1e-6
 
+    # streaming trainer over the process group: rank-identical trajectories
+    # matching the single-process streaming run
+    s0 = [float(v) for v in grab("SHIST", outs[0]).split(",")]
+    s1 = [float(v) for v in grab("SHIST", outs[1]).split(",")]
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+    sref = _reference_streaming_hist()
+    np.testing.assert_allclose(s0, sref, rtol=2e-3)
+
+
+def _reference_streaming_hist():
+    """Phase-3 oracle: single-process STREAMING run, same data/config."""
+    import pandas as pd
+
+    from dca_tpu.data import normalize, read_dataset
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.models import AE_types
+    from dca_tpu.train import train
+
+    N, G = 64, 16
+    rs2 = np.random.RandomState(11)
+    counts = rs2.poisson(2.5, size=(N, G)).astype(np.float32)
+    counts[:, 0] += 1
+    counts[0, :] += 1
+    ad = AnnData(
+        counts,
+        pd.DataFrame(index=pd.Index([f"c{i}" for i in range(N)])),
+        pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+    )
+    ad = normalize(read_dataset(ad, check_counts=False))
+    net = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+    net.build()
+    hist = train(ad, net, epochs=2, batch_size=16, validation_split=0.25,
+                 verbose=False, seed=0, compiled=False, reduce_lr=0,
+                 early_stop=0, max_device_cells=32)
+    return hist.history["loss"]
+
 
 def _reference_train_hist():
     """Same data/config as the worker's phase 2, single process, no mesh."""
