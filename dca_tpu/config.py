@@ -10,6 +10,15 @@ gene panel is wide (>= 8192 columns, beyond the measured crossover where
 the kernel beats XLA — docs/benchmarks.md), plain XLA otherwise.
 Equivalence-tested against the XLA path either way.
 
+DCA_TPU_MATMUL: 'bf16' rounds the trunk/head matmul INPUTS to bfloat16
+while accumulating in float32 (the MXU's native mode — everything
+downstream of each matmul stays f32: bias add, BN, activations, losses);
+'f32' keeps full-precision matmuls everywhere.  'auto' (default) = bf16
+on TPU backends — measured never slower, with the loss trajectory
+indistinguishable at the reference workloads (same early-stop epoch,
+val loss equal to 4 decimals at the Paul15 shape — docs/benchmarks.md);
+f32 on CPU/GPU where the rounding buys nothing.
+
 DCA_TPU_DEVICE_DENSIFY: '1'/'0' force whether the streaming pipeline ships
 sparse chunks as padded CSR payloads (O(nnz) bytes) densified on-device by
 an XLA scatter with the z-scale epilogue fused (ops/densify.py), vs
@@ -52,6 +61,25 @@ def use_fused_dense(n_out=None) -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def matmul_dtype():
+    """Compute dtype for matmul INPUTS (accumulation is always f32 via
+    preferred_element_type).  Returns jnp.bfloat16 or None (= keep f32).
+
+    'auto' engages bf16 on TPU only: the MXU multiplies bf16 natively at
+    full rate, and only the matmul operands are rounded — bias/BN/
+    activations/losses all stay f32."""
+    mode = os.environ.get("DCA_TPU_MATMUL", "auto")
+    if mode in ("f32", "0"):
+        return None
+    import jax.numpy as jnp
+
+    if mode in ("bf16", "1"):
+        return jnp.bfloat16
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
 
 def use_device_densify() -> bool:

@@ -58,6 +58,20 @@ def _fused_dense_enabled(n_out=None) -> bool:
     return use_fused_dense(n_out)
 
 
+def _dot(x, w):
+    """Dense matmul in the configured MXU compute dtype (config.matmul_dtype):
+    bf16 operands with f32 accumulation when enabled, plain f32 otherwise.
+    The result is f32 either way, so bias/BN/activation/loss numerics are
+    untouched by the mode."""
+    from ..config import matmul_dtype
+
+    dt = matmul_dtype()
+    if dt is not None:
+        x = x.astype(dt)
+        w = w.astype(dt)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def _fused_interpret() -> bool:
     # compiled on TPU, interpreter elsewhere (tests force the path on CPU)
     return jax.default_backend() != "tpu"
@@ -479,7 +493,7 @@ def _apply_stack(
             layers = layers[len(new_state):]
     for li, layer in enumerate(layers):
         p = params[layer.name]
-        x = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
+        x = _dot(x, p["kernel"]) + p["bias"]
         if capture_center and layer.name == "center":
             latent = x  # encoder output = center Dense pre-BN/act (network.py:184-185)
         if layer.batchnorm:
@@ -516,7 +530,7 @@ def _apply_head(head: HeadDef, p, x, fused: bool = False):
                 activation=_HEAD_EPILOGUES[head.activation],
                 interpret=_fused_interpret(),
             )
-        z = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p["bias"]
+        z = _dot(x, p["kernel"]) + p["bias"]
     if head.activation == "mean":
         return MeanAct(z)
     if head.activation == "disp":
@@ -598,10 +612,9 @@ def apply(
         # network.py:429-447: z = -Dense(decoder); pi = ElemDense(sigmoid)(z);
         # mean = MeanAct(z)
         z = (
-            jnp.dot(
+            _dot(
                 branch_out[definition.branch_of_head["mean"]],
                 params["heads"]["mean"]["kernel"],
-                preferred_element_type=jnp.float32,
             )
             + params["heads"]["mean"]["bias"]
         )
@@ -712,10 +725,9 @@ def apply_decoder(definition: NetworkDef, params, state, latent_act, size_factor
     fused = _fused_dense_enabled(definition.output_size)
     if definition.ae_type == "zinb-elempi":
         z = (
-            jnp.dot(
+            _dot(
                 branch_out[definition.branch_of_head["mean"]],
                 params["heads"]["mean"]["kernel"],
-                preferred_element_type=jnp.float32,
             )
             + params["heads"]["mean"]["bias"]
         )

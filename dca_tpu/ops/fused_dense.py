@@ -121,6 +121,14 @@ def fused_dense_block(
     # finite, so no NaN/inf leaks into the real region).
     xp = jnp.pad(x, ((0, Bp - B), (0, Kp - K)))
     wp = jnp.pad(kernel, ((0, Kp - K), (0, Np - N)))
+    # honor DCA_TPU_MATMUL: bf16 operands (MXU-native, halves the weight
+    # stream's HBM bytes) with the f32 VMEM accumulator unchanged
+    from ..config import matmul_dtype
+
+    _dt = matmul_dtype()
+    if _dt is not None:
+        xp = xp.astype(_dt)
+        wp = wp.astype(_dt)
     bp = jnp.pad(jnp.asarray(bias, jnp.float32).reshape(1, -1),
                  ((0, 0), (0, Np - N)))
 

@@ -197,3 +197,19 @@ def test_fused_inference_path_matches_xla(ae_type, monkeypatch):
             continue
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_fused_dense_bf16_mode_close(monkeypatch):
+    """DCA_TPU_MATMUL=bf16 rounds only the kernel's matmul operands; the
+    f32 accumulator and epilogue keep the result within bf16 input
+    precision of the f32 path."""
+    B, K, N = 16, 64, 128
+    x, w, b, bn, sf = _dense_inputs(B, K, N, seed=5)
+    monkeypatch.setenv("DCA_TPU_MATMUL", "bf16")
+    got = np.asarray(fused_dense_block(x, w, b, bn=bn, activation="relu",
+                                       size_factors=sf, interpret=True))
+    monkeypatch.setenv("DCA_TPU_MATMUL", "f32")
+    ref = np.asarray(fused_dense_block(x, w, b, bn=bn, activation="relu",
+                                       size_factors=sf, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+    assert not np.array_equal(got, ref)
