@@ -69,7 +69,12 @@ def matmul_dtype():
 
     'auto' engages bf16 on TPU only: the MXU multiplies bf16 natively at
     full rate, and only the matmul operands are rounded — bias/BN/
-    activations/losses all stay f32."""
+    activations/losses all stay f32.
+
+    Unrecognized values raise ValueError (a 'fp32' typo must not silently
+    re-enable bf16 for a user forcing full precision).  Like the other
+    knobs, the value is captured at TRACE time: toggling the env var after
+    a function has been jitted has no effect in-process."""
     mode = os.environ.get("DCA_TPU_MATMUL", "auto")
     if mode in ("f32", "0"):
         return None
@@ -77,6 +82,10 @@ def matmul_dtype():
 
     if mode in ("bf16", "1"):
         return jnp.bfloat16
+    if mode != "auto":
+        raise ValueError(
+            f"DCA_TPU_MATMUL={mode!r}: expected 'auto', 'bf16'/'1', or 'f32'/'0'"
+        )
     import jax
 
     return jnp.bfloat16 if jax.default_backend() == "tpu" else None

@@ -149,7 +149,14 @@ class Autoencoder:
 
         On TPU (config.use_fused_loss) the NB/ZINB paths dispatch to the
         fused Pallas kernels when dispersion/pi are full (B, G) tensors —
-        the conddisp variants, including the flagship zinb-conddisp."""
+        the conddisp variants, including the flagship zinb-conddisp.
+
+        NB/ZINB run with masking=True: identical to the reference's
+        masking=False training default on finite targets (nelem == B*G and
+        nan2zero is a no-op), and NaN targets are masked per the
+        reference's loss.py:6-20,80-82 semantics instead of poisoning the
+        loss — the fused kernels implement the same contract
+        (ops/fused_loss.py), so both backends agree."""
         lk = self.definition.likelihood
         debug = bool(self.definition.debug)
         out = outputs["output"]
@@ -171,9 +178,11 @@ class Autoencoder:
             if fused_ok:
                 from ..ops.fused_loss import nb_nll_fused
 
-                return nb_nll_fused(jnp.asarray(target, jnp.float32), out, disp)
+                return nb_nll_fused(jnp.asarray(target, jnp.float32), out, disp,
+                                    1.0, core._fused_interpret())
             return losses.nb_nll(
-                target, out, disp, sample_weights=sample_weights, debug=debug
+                target, out, disp, masking=sample_weights is None,
+                sample_weights=sample_weights, debug=debug
             )
         if lk == "zinb":
             pi = outputs["pi"]
@@ -181,7 +190,8 @@ class Autoencoder:
                 from ..ops.fused_loss import zinb_nll_fused
 
                 return zinb_nll_fused(
-                    jnp.asarray(target, jnp.float32), out, disp, pi, float(self.ridge)
+                    jnp.asarray(target, jnp.float32), out, disp, pi,
+                    float(self.ridge), core._fused_interpret()
                 )
             return losses.zinb_nll(
                 target,
@@ -189,6 +199,7 @@ class Autoencoder:
                 disp,
                 pi,
                 ridge_lambda=self.ridge,
+                masking=sample_weights is None,
                 sample_weights=sample_weights,
                 debug=debug,
             )

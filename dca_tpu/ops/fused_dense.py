@@ -111,7 +111,15 @@ def fused_dense_block(
         raise ValueError(f"activation {activation!r} not fusable; "
                          f"available: {sorted(_EPILOGUES)}")
 
-    BM = min(_round_up(B, 8), block_b)
+    # honor DCA_TPU_MATMUL: bf16 operands (MXU-native, halves the weight
+    # stream's HBM bytes) with the f32 VMEM accumulator unchanged
+    from ..config import matmul_dtype
+
+    _dt = matmul_dtype()
+    # bf16 blocks need sublane multiples of 16 (Mosaic's (16, 128) bf16
+    # tile) — f32 only needs 8; BK is already a 128-multiple either way
+    sublane = 16 if _dt is not None else 8
+    BM = min(_round_up(B, sublane), block_b)
     BN = min(_round_up(N, 128), block_n)
     BK = min(_round_up(K, 128), block_k)
     Bp, Kp, Np = _round_up(B, BM), _round_up(K, BK), _round_up(N, BN)
@@ -121,11 +129,6 @@ def fused_dense_block(
     # finite, so no NaN/inf leaks into the real region).
     xp = jnp.pad(x, ((0, Bp - B), (0, Kp - K)))
     wp = jnp.pad(kernel, ((0, Kp - K), (0, Np - N)))
-    # honor DCA_TPU_MATMUL: bf16 operands (MXU-native, halves the weight
-    # stream's HBM bytes) with the f32 VMEM accumulator unchanged
-    from ..config import matmul_dtype
-
-    _dt = matmul_dtype()
     if _dt is not None:
         xp = xp.astype(_dt)
         wp = wp.astype(_dt)

@@ -13,9 +13,15 @@ the kernels use the in-package Stirling implementations (ops/special.py,
 verified to ~2e-6 against scipy).
 
 Numerics match ``dca_tpu.losses.zinb_nll``/``nb_nll`` with
-masking=False, mean reduction (the training default): eps=1e-10, theta clip
-1e6, zero branch at y<1e-8, ridge*pi^2.  Equivalence + gradient tests:
-tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+masking=True, mean reduction (the training configuration — identical to
+masking=False on finite targets): eps=1e-10, theta clip 1e6, zero branch at
+y<1e-8, ridge*pi^2, and the reference's NaN-target masking
+(loss.py:6-20,80-82): NaN counts are zeroed before the elementwise terms
+(contributing the y=0 likelihood to the numerator, exactly as the
+reference does) and the NB mean divides by the number of non-NaN targets.
+mu/theta/pi must still be finite.  Equivalence + gradient tests:
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU), including
+NaN-target cases.
 """
 
 from __future__ import annotations
@@ -50,11 +56,17 @@ def _tiles(B, G):
 
 
 def _elem_terms(y, mu, th_raw, pi, ridge):
-    """Shared elementwise forward math (ZINB). Returns per-element NLL."""
+    """Shared elementwise forward math (ZINB). Returns per-element NLL.
+
+    NaN targets follow the reference's masking semantics (loss.py:80-82):
+    the NLL terms are evaluated at y=0 (nan2zero), while the ZINB zero-count
+    branch selects on the ORIGINAL y, so NaN (not < 1e-8) takes the NB case
+    — exactly what losses.zinb_nll(masking=True) computes."""
     eps = EPS
+    y0 = jnp.where(jnp.isnan(y), 0.0, y)
     th = jnp.minimum(th_raw, THETA_CLIP)
-    t1 = lgamma(th + eps) + lgamma(y + 1.0) - lgamma(y + th + eps)
-    t2 = (th + y) * jnp.log1p(mu / (th + eps)) + y * (
+    t1 = lgamma(th + eps) + lgamma(y0 + 1.0) - lgamma(y0 + th + eps)
+    t2 = (th + y0) * jnp.log1p(mu / (th + eps)) + y0 * (
         jnp.log(th + eps) - jnp.log(mu + eps)
     )
     nb = t1 + t2
@@ -75,20 +87,25 @@ def _elem_terms(y, mu, th_raw, pi, ridge):
 
 
 def _elem_grads(y, mu, th_raw, pi, ridge):
-    """Analytic elementwise gradients wrt (mu, theta, pi)."""
+    """Analytic elementwise gradients wrt (mu, theta, pi).
+
+    NaN targets: the terms are evaluated at y=0 (matching the forward's
+    nan2zero), so masked elements still contribute the y=0 likelihood's
+    gradient — identical to autodiff through losses.*(masking=True)."""
     eps = EPS
+    y0 = jnp.where(jnp.isnan(y), 0.0, y)
     th = jnp.minimum(th_raw, THETA_CLIP)
     th_e = th + eps
     mu_e = mu + eps
     thmu = th_e + mu
 
-    dmu_nb = (th + y) / thmu - y / mu_e
+    dmu_nb = (th + y0) / thmu - y0 / mu_e
     dth_nb = (
         digamma(th_e)
-        - digamma(y + th_e)
+        - digamma(y0 + th_e)
         + jnp.log1p(mu / th_e)
-        + (th + y) * (1.0 / thmu - 1.0 / th_e)
-        + y / th_e
+        + (th + y0) * (1.0 / thmu - 1.0 / th_e)
+        + y0 / th_e
     )
 
     if pi is None:
@@ -123,8 +140,8 @@ def _elem_grads(y, mu, th_raw, pi, ridge):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, *, B, G, BM, BN, ridge,
-                with_pi):
+def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, cnt_ref, *, B, G, BM,
+                BN, ridge, with_pi):
     i = pl.program_id(0)
     j = pl.program_id(1)
     y = y_ref[:]
@@ -135,10 +152,16 @@ def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, *, B, G, BM, BN, ridge,
     rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0) + i * BM
     cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * BN
     mask = (rows < B) & (cols < G)
-    # out_ref is the FULL (grid_i, grid_j) partial-sum array in SMEM (block ==
-    # array, constant index_map — satisfies the TPU tile rule); each grid step
-    # writes its own element, the host sums them.
+    # out_ref/cnt_ref are the FULL (grid_i, grid_j) partial arrays in SMEM
+    # (block == array, constant index_map — satisfies the TPU tile rule); each
+    # grid step writes its own element, the host sums them.
     out_ref[i, j] = jnp.sum(jnp.where(mask, res, 0.0))
+    # denominator contribution — reference masking semantics: NB divides by
+    # the number of non-NaN TARGETS (loss.py:12-14,109); ZINB's
+    # _reduce_mean_nan divides by the number of non-NaN RESULT elements
+    # (loss.py:17-20,144), which for finite mu/theta/pi is every element.
+    valid = mask & (~jnp.isnan(res) if with_pi else ~jnp.isnan(y))
+    cnt_ref[i, j] = jnp.sum(valid.astype(jnp.float32))
 
 
 def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, dmu_ref, dth_ref,
@@ -174,15 +197,20 @@ def _pallas_fwd(y, mu, th, pi, ridge, interpret):
     kernel = functools.partial(
         _fwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
     )
-    partials = pl.pallas_call(
+    smem_out = pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    partials, counts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[block, block, block, block],
-        out_specs=pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
+        out_specs=[smem_out, smem_out],
+        out_shape=[
+            jax.ShapeDtypeStruct(grid, jnp.float32),
+            jax.ShapeDtypeStruct(grid, jnp.float32),
+        ],
         interpret=interpret,
     )(y, mu, th, pi_in)
-    return jnp.sum(partials) / (B * G)
+    denom = jnp.maximum(jnp.sum(counts), 1.0)  # loss.py:14 — clamp 0/0
+    return jnp.sum(partials) / denom, denom
 
 
 def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret):
@@ -224,21 +252,22 @@ def zinb_nll_fused(y, mu, theta, pi, ridge_lambda=0.0, interpret=False):
     """Mean ZINB NLL over (B, G) f32 arrays — fused Pallas forward+backward.
 
     Semantics == losses.zinb_nll(y, mu, theta, pi, ridge_lambda=...,
-    masking=False, mean=True) for finite inputs; theta/pi must be
-    pre-broadcast to (B, G).
+    masking=True, mean=True) — identical to masking=False on finite
+    targets, and NaN targets are masked per the reference's semantics.
+    mu/theta/pi must be finite and pre-broadcast to (B, G).
     """
-    return _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
+    loss, _ = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
+    return loss
 
 
 def _zinb_fwd(y, mu, theta, pi, ridge_lambda, interpret):
-    loss = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
-    return loss, (y, mu, theta, pi)
+    loss, denom = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
+    return loss, (y, mu, theta, pi, denom)
 
 
 def _zinb_bwd(ridge_lambda, interpret, res, g):
-    y, mu, theta, pi = res
-    B, G = y.shape
-    scale = (g / (B * G)).astype(jnp.float32)
+    y, mu, theta, pi, denom = res
+    scale = (g / denom).astype(jnp.float32)
     dmu, dth, dpi = _pallas_bwd(y, mu, theta, pi, ridge_lambda, scale, interpret)
     return jnp.zeros_like(y), dmu, dth, dpi
 
@@ -248,20 +277,24 @@ zinb_nll_fused.defvjp(_zinb_fwd, _zinb_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def nb_nll_fused(y, mu, theta, scale_factor=1.0, interpret=False):
-    """Mean NB NLL over (B, G) f32 arrays — fused Pallas forward+backward."""
+    """Mean NB NLL over (B, G) f32 arrays — fused Pallas forward+backward.
+
+    Semantics == losses.nb_nll(y, mu, theta, masking=True, mean=True):
+    NaN targets are zeroed for the terms and excluded from the mean's
+    denominator (reference loss.py:80-82,109)."""
     del scale_factor  # parity arg; callers pre-scale mu (always 1.0 in-tree)
-    return _pallas_fwd(y, mu, theta, None, 0.0, interpret)
+    loss, _ = _pallas_fwd(y, mu, theta, None, 0.0, interpret)
+    return loss
 
 
 def _nb_fwd(y, mu, theta, scale_factor, interpret):
-    loss = _pallas_fwd(y, mu, theta, None, 0.0, interpret)
-    return loss, (y, mu, theta)
+    loss, denom = _pallas_fwd(y, mu, theta, None, 0.0, interpret)
+    return loss, (y, mu, theta, denom)
 
 
 def _nb_bwd(scale_factor, interpret, res, g):
-    y, mu, theta = res
-    B, G = y.shape
-    scale = (g / (B * G)).astype(jnp.float32)
+    y, mu, theta, denom = res
+    scale = (g / denom).astype(jnp.float32)
     dmu, dth, _ = _pallas_bwd(y, mu, theta, None, 0.0, scale, interpret)
     return jnp.zeros_like(y), dmu, dth
 

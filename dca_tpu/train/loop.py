@@ -42,6 +42,44 @@ class History:
         self.history.setdefault(key, []).append(float(value))
 
 
+class _TBLogger:
+    """Per-epoch TensorBoard scalar + weight-histogram logging — the Keras
+    ``TensorBoard(histogram_freq=1, write_grads=True)`` analogue the
+    reference attaches under ``--tensorboard`` (train.py:76-79), written
+    with the in-package tf-free event writer (dca_tpu/tbevents.py).
+
+    Scalars ``loss``/``val_loss``/``lr`` are logged every epoch; weight
+    histograms per epoch in the Python-loop paths, and once at the end in
+    the whole-fit-as-one-XLA-program path (no per-epoch host hop exists
+    there to log from)."""
+
+    def __init__(self, logdir):
+        from ..tbevents import EventWriter
+
+        self.writer = EventWriter(logdir)
+
+    def epoch(self, step, scalars, params=None):
+        for k, v in scalars.items():
+            if v is not None:
+                self.writer.scalar(k, float(v), step)
+        if params is not None:
+            self.histograms(step, params)
+        self.writer.flush()
+
+    def histograms(self, step, params):
+        from jax.tree_util import tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(params)
+        for path, leaf in leaves:
+            tag = "weights/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            self.writer.histogram(tag, np.asarray(leaf), step)
+
+    def close(self):
+        self.writer.close()
+
+
 class _FitCallbacks:
     """Keras-parity per-epoch callback state shared by the dense and
     streaming Python loops (reference train.py:62-79): EarlyStopping
@@ -218,9 +256,12 @@ def train(
     true crash-resume, which the reference lacks (SURVEY.md §5.4). Forces
     the Python-epoch loop.
 
-    ``tensorboard=True`` records a jax.profiler trace under
-    <output_dir>/tb viewable in TensorBoard (reference train.py:76-79
-    analogue)."""
+    ``tensorboard=True`` writes per-epoch loss/val_loss/lr scalars and
+    weight histograms as standard TensorBoard event files under
+    <output_dir>/tb (the reference's TensorBoard(histogram_freq=1,
+    write_grads=True) callback, train.py:76-79 — tf-free writer in
+    dca_tpu/tbevents.py), plus a jax.profiler trace in the same
+    directory."""
     if threads:
         # XLA owns its own device threading; the host-side hot loops (C++
         # TSV parse/format, CSR densify/gather) honor the cap, matching the
@@ -257,8 +298,11 @@ def train(
         stream = n_cells > max_device_cells
     else:
         stream = est_bytes > int(os.environ.get("DCA_TPU_DEVICE_BYTES", 6_000_000_000))
+    tb = None
+    if tensorboard and output_dir is not None:
+        tb = _TBLogger(os.path.join(output_dir, "tb"))
     if stream:
-        if tensorboard and output_dir is not None:
+        if tb is not None:
             jax.profiler.start_trace(os.path.join(output_dir, "tb"))
         try:
             return _train_streaming(
@@ -268,11 +312,12 @@ def train(
                 output_subset=output_subset, seed=seed, verbose=verbose,
                 max_device_cells=max_device_cells or 131072, mesh=mesh,
                 output_dir=output_dir, save_weights=save_weights,
-                checkpoint_every=checkpoint_every, resume=resume,
+                checkpoint_every=checkpoint_every, resume=resume, tb=tb,
             )
         finally:
-            if tensorboard and output_dir is not None:
+            if tb is not None:
                 jax.profiler.stop_trace()
+                tb.close()
 
     # ----- assemble host arrays (train.py:83-89) -----
     X = _densify(adata.X)
@@ -330,7 +375,7 @@ def train(
                 jnp.asarray(sf_val),
             )
 
-    if tensorboard and output_dir is not None:
+    if tb is not None:
         jax.profiler.start_trace(os.path.join(output_dir, "tb"))
 
     try:
@@ -339,18 +384,19 @@ def train(
             output_dir, seed, verbose, compiled, checkpoint_every, resume,
             dev_Xtr, dev_Ttr, dev_sftr,
             (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
-            n_train, bs, n_full, rem, has_val, mesh,
+            n_train, bs, n_full, rem, has_val, mesh, tb,
         )
     finally:
-        if tensorboard and output_dir is not None:
+        if tb is not None:
             jax.profiler.stop_trace()
+            tb.close()
 
 
 def _train_inner(
     network, opt, lr, epochs, reduce_lr, early_stop, save_weights, output_dir,
     seed, verbose, compiled, checkpoint_every, resume,
     dev_Xtr, dev_Ttr, dev_sftr, val, n_train, bs, n_full, rem, has_val,
-    mesh=None,
+    mesh=None, tb=None,
 ):
     if has_val:
         dev_Xval, dev_Tval, dev_sfval = val
@@ -362,6 +408,7 @@ def _train_inner(
             n_train=n_train, batch_size=bs, epochs=epochs, reduce_lr=reduce_lr,
             early_stop=early_stop, save_weights=save_weights,
             output_dir=output_dir, seed=seed, verbose=verbose, mesh=mesh,
+            tb=tb,
         )
 
     loss_fn = network.loss_fn
@@ -499,6 +546,14 @@ def _train_inner(
             msg += f" - lr: {cbs.lr:.2e}"
             print(msg)
 
+        if tb is not None:
+            tb.epoch(
+                epoch,
+                {"loss": train_loss, "lr": cbs.lr,
+                 "val_loss": val_loss if has_val else None},
+                params,
+            )
+
         # ----- callbacks (train.py:62-79) -----
         stop = cbs.end_epoch(epoch, monitor, params, state)
 
@@ -624,6 +679,7 @@ def train_with_args(args):
 def _train_compiled(
     network, opt, lr, Xtr, Ttr, SFtr, val, *, n_train, batch_size, epochs,
     reduce_lr, early_stop, save_weights, output_dir, seed, verbose, mesh=None,
+    tb=None,
 ):
     """One-device-call fit (see compiled.py); with a mesh the whole
     multi-epoch program is GSPMD-partitioned over it."""
@@ -681,6 +737,11 @@ def _train_compiled(
             if has_val:
                 msg += f" - val_loss: {val_np[e]:.4f}"
             print(msg + f" - lr: {lr_np[e]:.2e}")
+        if tb is not None:  # scalars post-hoc: the fit was ONE XLA program
+            tb.epoch(e, {"loss": loss_np[e], "lr": lr_np[e],
+                         "val_loss": val_np[e] if has_val else None})
+    if tb is not None and n_run > 0:
+        tb.histograms(n_run - 1, params)  # final weights only (see _TBLogger)
 
     network.params, network.state = params, state
     network._predict_jit = None
@@ -696,7 +757,7 @@ def _train_streaming(
     adata, network, opt, lr, *, epochs, reduce_lr, early_stop, batch_size,
     validation_split, use_raw_as_output, output_subset, seed, verbose,
     max_device_cells, mesh=None, output_dir=None, save_weights=False,
-    checkpoint_every=0, resume=False,
+    checkpoint_every=0, resume=False, tb=None,
 ):
     """Chunked training for datasets too large to stage on device whole
     (data/loader.py).  The count matrix stays sparse on the host; shuffled
@@ -923,6 +984,14 @@ def _train_streaming(
             if has_val:
                 msg += f" - val_loss: {monitor:.4f}"
             print(msg + f" - lr: {cbs.lr:.2e} [streaming]")
+
+        if tb is not None:
+            tb.epoch(
+                epoch,
+                {"loss": train_loss, "lr": cbs.lr,
+                 "val_loss": val_loss if has_val else None},
+                params,
+            )
 
         stop = cbs.end_epoch(epoch, monitor, params, state)
 
