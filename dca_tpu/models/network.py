@@ -437,19 +437,112 @@ class Autoencoder:
                 f.create_dataset(key, data=leaf)
 
     def load_weights(self, filename):
-        """network.py:164-167 analogue; reads the flat HDF5 dump."""
+        """network.py:164-167 analogue; reads either format:
+
+        * this package's flat HDF5 dump (save_weights above), or
+        * a Keras ``weights.hdf5`` written by the REFERENCE implementation
+          (``model.save_weights`` — detected by the Keras root attribute
+          ``layer_names`` and mapped layer-by-layer onto the pytree), so
+          reference-era artifacts import directly."""
         import h5py
 
         assert self.definition is not None, "call build() first"
-        tree = {"params": self.params, "state": self.state}
-        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         with h5py.File(filename, "r") as f:
+            if "layer_names" in f.attrs:
+                self._load_keras_hdf5(f)
+                return
+            tree = {"params": self.params, "state": self.state}
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
             leaves = []
             for path, leaf in flat:
                 key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
                 leaves.append(jnp.asarray(np.asarray(f[key]), dtype=leaf.dtype))
         tree = jax.tree_util.tree_unflatten(treedef, leaves)
         self.params, self.state = tree["params"], tree["state"]
+        self._predict_jit = None
+
+    def _load_keras_hdf5(self, f):
+        """Map a reference Keras ``weights.hdf5`` onto the param pytree.
+
+        Layer names are shared with the reference by construction (core.py
+        build_definition mirrors reference network.py:100-126,553-762):
+        trunk ``enc*/center/dec*``, fork branches ``*_last_{mean,disp,pi}``,
+        heads ``mean``/``dispersion``/``pi``.  Keras's unnamed
+        BatchNormalization layers are assigned to dense layers by model
+        order (Keras lists layers topologically, and each trunk BN
+        immediately follows its Dense — reference network.py:124-128)."""
+        import collections
+
+        params = jax.tree_util.tree_map(np.asarray, self.params)
+        state = jax.tree_util.tree_map(np.asarray, self.state)
+
+        by_name = {}  # keras layer name -> (param dict, state dict)
+        for lname, p in params["trunk"].items():
+            by_name[lname] = (p, state["trunk"][lname])
+        for bname, branch in params.get("branches", {}).items():
+            for lname, p in branch.items():
+                by_name[lname] = (p, state["branches"][bname][lname])
+        for hname, head in self.definition.heads.items():
+            by_name[head.name] = (params["heads"][hname], None)
+
+        def _s(x):
+            return x.decode() if isinstance(x, bytes) else str(x)
+
+        layer_names = [_s(n) for n in f.attrs["layer_names"]]
+        # dense layers awaiting their following BatchNormalization, in order
+        bn_queue = collections.deque()
+        matched = set()
+        for lname in layer_names:
+            weight_names = [_s(w) for w in f[lname].attrs.get("weight_names", [])]
+            if not weight_names:
+                continue
+            arrays = {w: np.asarray(f[lname][w]) for w in weight_names}
+            if any(w.rsplit("/", 1)[-1].startswith(("beta", "moving_mean"))
+                   for w in weight_names):
+                assert bn_queue, (
+                    f"BatchNormalization layer {lname!r} has no preceding "
+                    f"dense layer to attach to")
+                p, s = bn_queue.popleft()
+                for w, arr in arrays.items():
+                    leaf = w.rsplit("/", 1)[-1].split(":")[0]
+                    if leaf == "beta":
+                        p["bn_beta"] = arr.astype(np.float32)
+                    elif leaf == "moving_mean":
+                        s["moving_mean"] = arr.astype(np.float32)
+                    elif leaf == "moving_variance":
+                        s["moving_var"] = arr.astype(np.float32)
+                    else:
+                        raise ValueError(
+                            f"unexpected BatchNorm weight {w!r} in {lname!r} "
+                            f"(reference uses center=True, scale=False)")
+                continue
+            if lname not in by_name:
+                raise ValueError(
+                    f"Keras layer {lname!r} has weights but no counterpart "
+                    f"in this {self.ae_type!r} network — wrong ae_type or "
+                    f"architecture for this weights file?")
+            p, s = by_name[lname]
+            matched.add(lname)
+            for w, arr in arrays.items():
+                leaf = w.rsplit("/", 1)[-1].split(":")[0]
+                if leaf not in p:
+                    raise ValueError(f"unexpected weight {w!r} in layer {lname!r}")
+                if p[leaf].shape != arr.shape:
+                    raise ValueError(
+                        f"shape mismatch for {lname}/{leaf}: file "
+                        f"{arr.shape} vs model {p[leaf].shape}")
+                p[leaf] = arr.astype(np.float32)
+            if s is not None and "moving_mean" in s:
+                bn_queue.append((p, s))
+
+        missing = {n for n, (p, _) in by_name.items()
+                   if "kernel" in p or "theta" in p} - matched
+        if missing:
+            raise ValueError(
+                f"weights file is missing layers {sorted(missing)} for "
+                f"ae_type {self.ae_type!r}")
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.state = jax.tree_util.tree_map(jnp.asarray, state)
         self._predict_jit = None
 
     # ------------------------------------------------------------------
@@ -737,14 +830,64 @@ AE_types = {
 }  # network.py:763-768
 
 
-def load_model(path):
-    """Reconstruct a network from a ``model.pickle`` written by ``save()``
-    (reference io.py:130-131 / network.py:158-162 analogue).
+class _KerasStubUnpickler(pickle.Unpickler):
+    """Unpickle a REFERENCE ``model.pickle`` without keras/TF installed.
 
-    The reference pickles the pre-build Keras object; our payload carries the
-    constructor config plus (when built) the parameter/state arrays."""
+    The reference pickles its (pre-build) Autoencoder object whole
+    (network.py:158-162); the class lives in ``dca.network`` and drags
+    keras symbols along.  Classes from those modules are replaced with
+    attribute-bag stubs so the plain-Python constructor attributes
+    (input_size, hidden_size, ...) survive the load."""
+
+    STUB_PREFIXES = ("dca", "keras", "tensorflow", "tf_keras")
+
+    def find_class(self, module, name):
+        if module.split(".")[0] in self.STUB_PREFIXES:
+            stub = type(name, (), {"__module__": module})
+            stub._keras_class = name
+            return stub
+        return super().find_class(module, name)
+
+
+def _net_from_reference_pickle(obj):
+    """Build a network from an unpickled reference Autoencoder stub."""
+    cls_name = getattr(type(obj), "_keras_class", type(obj).__name__)
+    by_class = {cls.__name__: key for key, cls in AE_types.items()}
+    if cls_name not in by_class:
+        raise ValueError(f"model.pickle holds unknown reference class {cls_name!r}")
+    d = obj.__dict__
+    cfg = {
+        k: d[k]
+        for k in (
+            "input_size", "output_size", "hidden_size", "l2_coef", "l1_coef",
+            "l2_enc_coef", "l1_enc_coef", "ridge", "hidden_dropout",
+            "input_dropout", "batchnorm", "activation", "init", "file_path",
+            "debug",
+        )
+        if k in d
+    }
+    if "sharedpi" in d:
+        cfg["sharedpi"] = d["sharedpi"]
+    net = AE_types[by_class[cls_name]](**cfg)
+    net.build()
+    return net
+
+
+def load_model(path):
+    """Reconstruct a network from a ``model.pickle`` — either this
+    package's payload (save() above) or one written by the REFERENCE
+    implementation (io.py:130-131 / network.py:158-162: the pre-build Keras
+    object, loaded without keras via _KerasStubUnpickler; combine with
+    ``load_weights`` on a reference ``weights.hdf5`` for the trained
+    state)."""
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        try:
+            payload = pickle.load(f)
+        except Exception:
+            f.seek(0)
+            payload = _KerasStubUnpickler(f).load()
+    if not isinstance(payload, dict):
+        return _net_from_reference_pickle(payload)
     cls = AE_types[payload["ae_type"]]
     cfg = dict(payload["ctor"])
     net = cls(**cfg)
