@@ -123,6 +123,50 @@ def fit_zinb(y, maxiter=2000, lr=0.05, seed=0):
     return {"mu": mu, "theta": theta, "pi": pi, "nll": float(loss(p))}
 
 
+def optimize_zinb(mu, dropout, theta=None, maxiter=100):
+    """Fit the reference's gene-level ZINB zero model (utils.py:39-70):
+
+        P(zero | gene) = pi + (1 - pi) * (t / (mu + t))**t,
+        pi = sigmoid(a * log(mu + 1e-7) + b)
+
+    minimizing the mean Bernoulli log-loss against the empirical per-gene
+    dropout, by L-BFGS-B with JAX gradients (the TF1 original used
+    ScipyOptimizerInterface, i.e. the same optimizer).  ``theta=None``
+    additionally optimizes t (parameterized as exp, init exp(-10) — the
+    reference's t_log init, utils.py:43-44).
+
+    Returns ``(a, b, t)`` exactly like the reference's ``_optimize_zinb``."""
+    from scipy.optimize import minimize
+
+    mu = np.asarray(mu, np.float32).ravel()
+    dropout = np.asarray(dropout, np.float32).ravel()
+    opt_t = theta is None
+    eps = 1e-7  # tf.losses.log_loss epsilon
+
+    def loss(p):
+        a, b = p[0], p[1]
+        t = jnp.exp(p[2]) if opt_t else theta
+        pi = jax.nn.sigmoid(jnp.log(mu + 1e-7) * a + b)
+        pred = pi + (1.0 - pi) * (t / (mu + t)) ** t
+        return -jnp.mean(
+            dropout * jnp.log(pred + eps)
+            + (1.0 - dropout) * jnp.log(1.0 - pred + eps)
+        )
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    p0 = np.array([-1.0, 0.0, -10.0] if opt_t else [-1.0, 0.0], np.float64)
+
+    def fun(p):
+        v, g = vg(jnp.asarray(p, jnp.float32))
+        return float(v), np.asarray(g, np.float64)
+
+    res = minimize(fun, p0, jac=True, method="L-BFGS-B",
+                   options={"maxiter": maxiter})
+    a, b = float(res.x[0]), float(res.x[1])
+    t = float(np.exp(res.x[2])) if opt_t else float(theta)
+    return a, b, t
+
+
 def zero_inflation_test(y, maxiter=2000):
     """LRT of ZINB vs NB on a count sample: fits both, returns p-value of the
     zero-inflation term (small p => zero-inflated)."""
@@ -182,49 +226,85 @@ def plot_mean_var(adata, out_file=None):
     return fig
 
 
-def plot_mean_dropout(adata, out_file=None):
-    """Per-gene mean vs empirical dropout with NB/ZINB zero curves
-    (utils.py:119-156)."""
+def plot_mean_dropout(adata, out_file=None, opt_zinb_theta=False, ax=None):
+    """Per-gene mean vs empirical dropout with the NB and FITTED ZINB
+    zero-probability curves, their log-losses, and the zero-inflation LRT
+    p-value — the reference's plot_mean_dropout (utils.py:73-117).
+
+    The ZINB curve uses the global fit pi = sigmoid(a*log(mu)+b) from
+    :func:`optimize_zinb`; theta comes from the quadratic mean-variance
+    moment fit unless ``opt_zinb_theta`` (reference opt_zinb_theta flag).
+
+    Returns dict(a, b, theta, nb_ll, zinb_ll, pvalue, fig) so callers can
+    assert on the fit (the figure is in ``'fig'``)."""
     plt = _plt()
     X = _dense(adata.X if not hasattr(adata, "raw") or adata.raw is None else adata.raw.X)
     mu = X.mean(0)
     dropout = (X == 0).mean(0)
     theta = estimate_theta_moments(X)
-    fig, ax = plt.subplots(figsize=(5, 5))
-    ax.semilogx(np.maximum(mu, 1e-3), dropout, ".", alpha=0.3, label="genes")
+
+    a, b, t = optimize_zinb(mu, dropout,
+                            theta=None if opt_zinb_theta else theta)
+    nb_pred = nb_zero(theta, mu)
+    zinb_pred = zinb_zero(t, mu, sigmoid(np.log(mu + 1e-7) * a + b))
+    # reference log_loss is the SUM of Bernoulli CE (utils.py:16)
+    nb_ll = float(log_loss(nb_pred, dropout).sum())
+    zinb_ll = float(log_loss(zinb_pred, dropout).sum())
+    pvalue = float(lrt(-zinb_ll, -nb_ll, 3, 1))  # utils.py:116-117
+
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(10, 5))
+    order = np.argsort(mu)
+    ax.plot(mu, dropout, "o", c="black", markersize=1)
+    ax.set(xscale="log")
+    ax.plot(mu[order], nb_pred[order], color="red")
+    ax.plot(mu[order], zinb_pred[order], color="green")
+    ax.set_ylabel("Empirical dropout rate")
+    ax.set_xlabel(r"Mean expression")
+    ax.legend([
+        "Genes",
+        r"NB($\theta=%.2f)\ L=%.4f$" % (1.0 / theta, nb_ll),
+        r"ZINB($\theta=%.2f,\pi=\sigma(%.2f\mu%+.2f))\ L=%.4f$"
+        % (1.0 / t, a, b, zinb_ll),
+    ])
+    ret = dict(a=a, b=b, theta=t, nb_ll=nb_ll, zinb_ll=zinb_ll,
+               pvalue=pvalue, fig=fig)
+    if out_file and fig is not None:
+        fig.savefig(out_file, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ret
+
+
+def plot_zeroinf(adata, out_file=None, mean_var_plot=False, opt_theta=True):
+    """Zero-inflation diagnostic figure (reference utils.py:147-156): the
+    mean-dropout panel with fitted NB/ZINB zero curves, optionally paired
+    with the mean-variance panel.  Returns the plot_mean_dropout fit dict."""
+    plt = _plt()
+    if mean_var_plot:
+        fig, axs = plt.subplots(1, 2, figsize=(15, 5))
+        _mean_var_panel(adata, axs[0])
+        ret = plot_mean_dropout(adata, opt_zinb_theta=opt_theta, ax=axs[1])
+    else:
+        fig, ax = plt.subplots(1, 1, figsize=(10, 5))
+        ret = plot_mean_dropout(adata, opt_zinb_theta=opt_theta, ax=ax)
+    fig.tight_layout()
+    ret["fig"] = fig
+    if out_file:
+        fig.savefig(out_file, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ret
+
+
+def _mean_var_panel(adata, ax):
+    X = _dense(adata.X if not hasattr(adata, "raw") or adata.raw is None else adata.raw.X)
+    mu = X.mean(0)
+    var = X.var(0)
+    theta = estimate_theta_moments(X)
+    ax.loglog(np.maximum(mu, 1e-3), np.maximum(var, 1e-3), ".", alpha=0.3)
     xs = np.logspace(-3, np.log10(max(mu.max(), 1.0)), 100)
-    ax.semilogx(xs, nb_zero(theta, xs), "r-", label=f"NB zeros (theta={theta:.2f})")
-    ax.semilogx(xs, np.exp(-xs), "k--", label="Poisson zeros")
+    ax.loglog(xs, xs + xs**2 / theta, "r-")
+    ax.loglog(xs, xs, "k--")
     ax.set_xlabel("gene mean")
-    ax.set_ylabel("empirical dropout")
-    ax.legend()
-    if out_file:
-        fig.savefig(out_file, dpi=120, bbox_inches="tight")
-        plt.close(fig)
-        return out_file
-    return fig
-
-
-def plot_zeroinf(adata, out_file=None):
-    """Zero-inflation check (utils.py:98-117 spirit): per-gene EXCESS zero
-    fraction — empirical zeros minus the NB expectation at a moment-estimated
-    global theta — against the gene mean.  Points above zero indicate
-    zero-inflation.  (No per-bin ZINB fit is performed; use
-    :func:`zero_inflation_test` for a formal LRT.)"""
-    plt = _plt()
-    X = _dense(adata.X if not hasattr(adata, "raw") or adata.raw is None else adata.raw.X)
-    mu = X.mean(0)
-    dropout = (X == 0).mean(0)
-    theta = estimate_theta_moments(X)
-    expected = nb_zero(theta, mu)
-    excess = dropout - expected
-    fig, ax = plt.subplots(figsize=(5, 5))
-    ax.semilogx(np.maximum(mu, 1e-3), excess, ".", alpha=0.4)
-    ax.axhline(0.0, color="k", lw=1)
-    ax.set_xlabel("gene mean")
-    ax.set_ylabel("empirical - NB expected zero fraction")
-    if out_file:
-        fig.savefig(out_file, dpi=120, bbox_inches="tight")
-        plt.close(fig)
-        return out_file
-    return fig
+    ax.set_ylabel("gene variance")
+    ax.legend(["genes", f"NB fit (theta={theta:.2f})", "Poisson"])

@@ -44,12 +44,68 @@ def test_zero_inflation_test_detects():
 
 
 def test_plots(tmp_path):
+    import os
+
     pytest.importorskip("matplotlib")
     from dca_tpu.data.adata import AnnData
 
     ad = AnnData(make_counts(100, 40, seed=3))
-    for fn in (dg.plot_mean_var, dg.plot_mean_dropout, dg.plot_zeroinf):
-        out = fn(ad, out_file=str(tmp_path / f"{fn.__name__}.png"))
-        import os
+    out = dg.plot_mean_var(ad, out_file=str(tmp_path / "mv.png"))
+    assert os.path.exists(out)
+    for fn in (dg.plot_mean_dropout, dg.plot_zeroinf):
+        path = str(tmp_path / f"{fn.__name__}.png")
+        ret = fn(ad, out_file=path)
+        assert os.path.exists(path)
+        assert np.isfinite(ret["zinb_ll"]) and np.isfinite(ret["pvalue"])
+    ret = dg.plot_zeroinf(ad, out_file=str(tmp_path / "zi_mv.png"),
+                          mean_var_plot=True)
+    assert os.path.exists(str(tmp_path / "zi_mv.png"))
 
-        assert os.path.exists(out)
+
+def _sim_counts(pi, n=2000, g=200, seed=5):
+    """NB counts with optional extra zero-inflation pi."""
+    rs = np.random.RandomState(seed)
+    theta = 2.0
+    mu = rs.gamma(3.0, 1.5, size=(1, g))
+    y = rs.negative_binomial(theta, theta / (theta + mu), size=(n, g))
+    if pi > 0:
+        y = np.where(rs.uniform(size=y.shape) < pi, 0, y)
+    return y.astype(np.float32)
+
+
+def test_zinb_zero_fit_rises_on_zero_inflated_sim():
+    """The fitted pi curve (reference utils.py:52-70 model) must be clearly
+    higher on a zero-inflated sim than on a pure-NB sim — VERDICT r2 item 7."""
+    from dca_tpu.diagnostics import optimize_zinb, sigmoid
+
+    def fitted_pi(counts):
+        mu = counts.mean(0)
+        dropout = (counts == 0).mean(0)
+        theta = dg.estimate_theta_moments(counts)
+        a, b, _ = optimize_zinb(mu, dropout, theta=theta)
+        # evaluate the fitted pi at the typical gene mean
+        return float(sigmoid(np.log(np.median(mu) + 1e-7) * a + b))
+
+    pi_nb = fitted_pi(_sim_counts(0.0))
+    pi_zi = fitted_pi(_sim_counts(0.35))
+    # the absolute level is damped because the moment theta absorbs part of
+    # the extra zeros as overdispersion (same behavior as the reference's
+    # pipeline, which feeds the same quadratic-fit theta) — the separation
+    # is what matters
+    assert pi_zi > 0.1, pi_zi
+    assert pi_nb < 0.05, pi_nb
+    assert pi_zi > pi_nb + 0.08, (pi_zi, pi_nb)
+
+
+def test_plot_zeroinf_pvalue_discriminates():
+    pytest.importorskip("matplotlib")
+    from dca_tpu.data.adata import AnnData
+
+    ret_zi = dg.plot_mean_dropout(AnnData(_sim_counts(0.35)))
+    ret_nb = dg.plot_mean_dropout(AnnData(_sim_counts(0.0)))
+    assert ret_zi["pvalue"] < 0.01, ret_zi
+    assert ret_zi["zinb_ll"] < ret_zi["nb_ll"]  # ZINB fits ZI data better
+    # and on pure NB data the ZINB improvement is comparatively small
+    gain_zi = ret_zi["nb_ll"] - ret_zi["zinb_ll"]
+    gain_nb = ret_nb["nb_ll"] - ret_nb["zinb_ll"]
+    assert gain_zi > gain_nb
