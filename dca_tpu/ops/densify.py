@@ -80,6 +80,26 @@ def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
     return _scatter(idx, dat, int(n_cols))
 
 
+def make_sharded_densifier(n_cols, out_sharding, with_scale):
+    """Compile a payload scatter whose dense OUTPUT is pinned to a mesh
+    sharding (rows over 'data') — the streaming-trainer mesh path
+    (train/loop.py): payloads arrive row-sharded over the data axis, the
+    scatter runs shard-local under GSPMD, and the (B, G) dense chunk comes
+    out row-sharded instead of replicated (which would defeat the point of
+    streaming at the 1M-cell scale).
+
+    Returns ``f(idx, dat)`` or ``f(idx, dat, mean, std)`` (z-scale epilogue
+    fused) depending on ``with_scale``."""
+    n_cols = int(n_cols)
+    if with_scale:
+        fn = lambda idx, dat, mean, std: (
+            (_scatter_impl(idx, dat, n_cols) - mean) / std
+        )
+    else:
+        fn = lambda idx, dat: _scatter_impl(idx, dat, n_cols)
+    return jax.jit(fn, out_shardings=out_sharding)
+
+
 def payload_from_csr(X, rows, K=None):
     """Build the padded (idx, dat) payload for CSR rows via the C++ tier.
 

@@ -790,8 +790,9 @@ def _train_streaming(
 
     # on-device densify (DCA_TPU_DEVICE_DENSIFY=1): ship O(nnz) payloads,
     # scatter + z-scale on-chip (ops/densify.py); dense host tier otherwise.
-    # The mesh path keeps host densification (sharded staging wants arrays).
-    dev_densify = mesh is None and use_device_densify()
+    # Composes with the mesh path too: payloads are row-sharded over 'data'
+    # and scattered shard-locally (make_sharded_densifier).
+    dev_densify = use_device_densify()
     tr = StreamingData(X[:split_at], target[:split_at], sf[:split_at], chunk,
                        scale_mean, scale_std, device_densify=dev_densify)
     has_val = split_at < n
@@ -850,13 +851,64 @@ def _train_streaming(
     params, state = network.params, network.state
     opt_state = opt.init(params)
     if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.densify import make_sharded_densifier
+        from ..parallel.mesh import batch_sharding, batch_vector_sharding, replicated
         from ..parallel.step import place_train_state, shard_train_data as _shard
 
         params, state, opt_state = place_train_state(
             network, mesh, params, state, opt_state
         )
 
+        bsh, vsh, rsh = batch_sharding(mesh), batch_vector_sharding(mesh), replicated(mesh)
+        n_data_axis = mesh.shape["data"]
+        _densifiers = {}  # (n_cols, scaled) -> compiled sharded scatter
+
+        def _put_rows(arr):
+            """Row-partitioned host->mesh placement for a payload slab."""
+            if jax.process_count() > 1:
+                from ..parallel.multihost import host_local_to_global
+
+                return host_local_to_global(mesh, P("data", None), arr)
+            sh = bsh if arr.shape[0] % n_data_axis == 0 else rsh
+            return jax.device_put(arr, sh)
+
+        def _mesh_densify(c, scaled):
+            # pjit out_shardings require divisibility; the odd-sized final
+            # part of an epoch falls back to a replicated dense block (it is
+            # at most chunk-1 rows and still trains data-parallel via the
+            # per-batch sharding constraint)
+            even = c.idx.shape[0] % n_data_axis == 0
+            key = (c.n_cols, scaled, even)
+            if key not in _densifiers:
+                _densifiers[key] = make_sharded_densifier(
+                    c.n_cols, bsh if even else rsh, scaled
+                )
+            idx = _put_rows(np.ascontiguousarray(c.idx))
+            dat = _put_rows(np.ascontiguousarray(c.dat))
+            if scaled:
+                return _densifiers[key](idx, dat, jnp.asarray(scale_mean),
+                                        jnp.asarray(scale_std))
+            return _densifiers[key](idx, dat)
+
         def _stage(xc, tc, sfc):
+            if isinstance(xc, SparseChunk) or isinstance(tc, SparseChunk):
+                xd = (_mesh_densify(xc, scale_mean is not None)
+                      if isinstance(xc, SparseChunk)
+                      else _put_rows(np.asarray(xc, np.float32)))
+                td = (_mesh_densify(tc, False) if isinstance(tc, SparseChunk)
+                      else _put_rows(np.asarray(tc, np.float32)))
+                sfc = np.asarray(sfc, np.float32)
+                if jax.process_count() > 1:
+                    from ..parallel.multihost import host_local_to_global
+
+                    sfd = host_local_to_global(mesh, P("data"), sfc)
+                else:
+                    sfd = jax.device_put(
+                        sfc, vsh if len(sfc) % n_data_axis == 0 else rsh
+                    )
+                return xd, td, sfd
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:

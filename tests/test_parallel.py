@@ -226,6 +226,60 @@ def test_train_devices_compiled_whole_fit():
     assert np.isfinite(h.history["loss"]).all()
 
 
+def test_streaming_device_densify_composes_with_mesh(monkeypatch):
+    """VERDICT r2 item 5: streaming + mesh + on-device densify.  Payloads
+    are row-sharded over 'data' and scattered shard-locally
+    (make_sharded_densifier); the loss trajectory must match single-device
+    streaming on the same sparse data."""
+    import scipy.sparse as sp
+
+    from conftest import make_counts
+    from dca_tpu.data import read_dataset, normalize
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.train import train
+
+    X = make_counts(128, 24, seed=41)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+    ad = normalize(read_dataset(AnnData(sp.csr_matrix(X))), lazy_scale=True)
+
+    monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+    net1 = _net(G=24, hidden=(8, 4, 8), ae_type="nb-conddisp")
+    h1 = train(ad, net1, epochs=3, verbose=False, seed=0, max_device_cells=64)
+    net2 = _net(G=24, hidden=(8, 4, 8), ae_type="nb-conddisp")
+    h2 = train(ad, net2, epochs=3, verbose=False, seed=0, max_device_cells=64,
+               devices=8)
+    np.testing.assert_allclose(h1.history["loss"], h2.history["loss"],
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(h1.history["val_loss"], h2.history["val_loss"],
+                               rtol=2e-3, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(net1.params),
+                    jax.tree_util.tree_leaves(net2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1.5e-3)
+
+
+def test_sharded_densifier_output_sharding():
+    """The dense chunk produced from a payload must come out row-sharded
+    over 'data', not replicated."""
+    import scipy.sparse as sp
+
+    from dca_tpu.ops.densify import make_sharded_densifier, payload_from_csr
+    from dca_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(jax.devices())
+    rs = np.random.RandomState(0)
+    X = sp.csr_matrix((rs.poisson(0.5, size=(64, 40))).astype(np.float32))
+    idx, dat = payload_from_csr(X, np.arange(64))
+    bsh = batch_sharding(mesh)
+    fn = make_sharded_densifier(40, bsh, False)
+    out = fn(jax.device_put(np.asarray(idx), bsh),
+             jax.device_put(np.asarray(dat), bsh))
+    assert out.sharding == bsh or out.sharding.is_equivalent_to(bsh, out.ndim)
+    np.testing.assert_allclose(np.asarray(out), X.toarray(), rtol=1e-6)
+
+
 def test_dca_devices_public_api():
     """dca(adata, devices=...) trains data-parallel on the 8-device mesh and
     honors the full side-effect contract."""
