@@ -13,11 +13,16 @@ Equivalence-tested against the XLA path either way.
 DCA_TPU_MATMUL: 'bf16' rounds the trunk/head matmul INPUTS to bfloat16
 while accumulating in float32 (the MXU's native mode — everything
 downstream of each matmul stays f32: bias add, BN, activations, losses);
-'f32' keeps full-precision matmuls everywhere.  'auto' (default) = bf16
-on TPU backends — measured never slower, with the loss trajectory
-indistinguishable at the reference workloads (same early-stop epoch,
-val loss equal to 4 decimals at the Paul15 shape — docs/benchmarks.md);
-f32 on CPU/GPU where the rounding buys nothing.
+'f32' keeps full-precision matmuls everywhere.  'auto' (default) = f32
+EVERYWHERE: at DCA's shapes (<=3.5k-gene panels, 64-32-64 trunk) the
+epoch is dispatch/latency-bound, and the round-3 median-of-5 A/B on the
+driver workloads measured f32 at 122.5x baseline where the round-2
+bf16-default record was 63.5x (docs/benchmarks.md) — the rounding buys
+nothing at these shapes while changing output numerics vs the
+reference.  bf16 remains one env var away for wide custom panels where
+the MXU/HBM win can materialize; convergence at the reference workloads
+was validated in round 2 (same early-stop epoch, val loss equal to 4
+decimals).
 
 DCA_TPU_DEVICE_DENSIFY: '1'/'0' force whether the streaming pipeline ships
 sparse chunks as padded CSR payloads (O(nnz) bytes) densified on-device by
@@ -67,28 +72,26 @@ def matmul_dtype():
     """Compute dtype for matmul INPUTS (accumulation is always f32 via
     preferred_element_type).  Returns jnp.bfloat16 or None (= keep f32).
 
-    'auto' engages bf16 on TPU only: the MXU multiplies bf16 natively at
-    full rate, and only the matmul operands are rounded — bias/BN/
-    activations/losses all stay f32.
+    'auto' (default) = f32: DCA's workloads are latency-bound, bf16
+    operand rounding measured no win there (see module docstring) and
+    would change output numerics vs the reference.  'bf16'/'1' opts in
+    (MXU-native, halves the weight stream's HBM bytes — worth an A/B on
+    panels in the many-thousands of genes).
 
     Unrecognized values raise ValueError (a 'fp32' typo must not silently
-    re-enable bf16 for a user forcing full precision).  Like the other
-    knobs, the value is captured at TRACE time: toggling the env var after
-    a function has been jitted has no effect in-process."""
+    change the precision a user asked for).  Like the other knobs, the
+    value is captured at TRACE time: toggling the env var after a function
+    has been jitted has no effect in-process."""
     mode = os.environ.get("DCA_TPU_MATMUL", "auto")
-    if mode in ("f32", "0"):
+    if mode in ("auto", "f32", "0"):
         return None
     import jax.numpy as jnp
 
     if mode in ("bf16", "1"):
         return jnp.bfloat16
-    if mode != "auto":
-        raise ValueError(
-            f"DCA_TPU_MATMUL={mode!r}: expected 'auto', 'bf16'/'1', or 'f32'/'0'"
-        )
-    import jax
-
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    raise ValueError(
+        f"DCA_TPU_MATMUL={mode!r}: expected 'auto', 'bf16'/'1', or 'f32'/'0'"
+    )
 
 
 def use_device_densify() -> bool:

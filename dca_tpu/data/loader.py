@@ -66,6 +66,25 @@ class SparseChunk:
         return SparseChunk(self.idx[sl], self.dat[sl], self.n_cols)
 
 
+class FlatChunk:
+    """FLAT padded COO payload of a chunk (native.csr_to_flat), densified on
+    device by ops.densify.device_densify_flat.
+
+    12 bytes per nonzero vs SparseChunk's 8 bytes per max-width slot — the
+    better encoding on heavy-tailed row-nnz distributions (the loader picks
+    per matrix; DCA_TPU_PAYLOAD overrides)."""
+
+    __slots__ = ("row", "col", "val", "n_rows", "n_cols")
+
+    def __init__(self, row, col, val, n_rows, n_cols):
+        self.row, self.col, self.val = row, col, val
+        self.n_rows, self.n_cols = int(n_rows), int(n_cols)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
 def _gather_dense(X, idx) -> np.ndarray:
     from .. import native
 
@@ -100,6 +119,7 @@ class StreamingData:
         scale_mean: Optional[np.ndarray] = None,
         scale_std: Optional[np.ndarray] = None,
         device_densify: bool = False,
+        payload_mode: str = "auto",
     ):
         assert X.shape[0] == target.shape[0] == len(size_factors)
         self.X = X
@@ -109,14 +129,27 @@ class StreamingData:
         self.chunk_cells = int(chunk_cells)
         self.scale_mean = scale_mean
         self.scale_std = scale_std
-        # device-densify mode: CSR components are shipped as padded payloads
-        # (SparseChunk) and scattered dense on-device; the slot width K is
-        # fixed matrix-wide so every chunk reuses one compiled scatter.
-        # Input z-scaling is then deferred to the on-device epilogue — the
-        # staging fn in train/loop.py applies scale_mean/std to SparseChunk x.
+        # device-densify mode: CSR components ship as payloads scattered
+        # dense on-device.  Two encodings (ops/densify.py):
+        #   padded (SparseChunk): (B, K) slabs, K = matrix max nnz/row,
+        #     8 B/slot — best when rows are balanced;
+        #   flat (FlatChunk): (row, col, val) COO, 12 B/nonzero — best when
+        #     the row-nnz tail makes K >> mean (real scRNA depth tails).
+        # 'auto' picks by measured payload bytes; DCA_TPU_PAYLOAD or the
+        # payload_mode arg overrides (the mesh path forces 'padded': its
+        # staging row-shards (B, K) slabs cleanly, train/loop.py).
+        # Input z-scaling is deferred to the on-device scatter epilogue.
         self.device_densify = bool(device_densify)
+        import os
+
+        # an explicit payload_mode (e.g. the mesh path's forced 'padded')
+        # wins over the env knob; the env only steers 'auto'
+        mode = (payload_mode if payload_mode not in (None, "auto")
+                else os.environ.get("DCA_TPU_PAYLOAD", "auto"))
         self._K_x = self._payload_width(X) if device_densify else None
         self._K_t = self._payload_width(target) if device_densify else None
+        self._mode_x = self._pick_mode(X, self._K_x, mode)
+        self._mode_t = self._pick_mode(target, self._K_t, mode)
 
     @staticmethod
     def _payload_width(M):
@@ -125,8 +158,34 @@ class StreamingData:
         nnz = np.diff(M.indptr)
         return max(int(nnz.max()) if nnz.size else 0, 1)
 
+    @staticmethod
+    def _pick_mode(M, K, mode):
+        if K is None:
+            return None  # dense host tier
+        if mode in ("padded", "flat"):
+            return mode
+        mean_nnz = max(M.nnz / max(M.shape[0], 1), 1.0)
+        # bytes/row: padded 8*K vs flat 12*mean*1.15 (bucket margin)
+        return "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
+
+    def _flat_bucket(self, M, idx):
+        """Padded slot count for this part: actual nnz rounded up to a
+        1/16-granule bucket of the expected full-chunk nnz, so an epoch's
+        parts land in a handful of compiled scatter variants."""
+        total = int(np.diff(M.indptr)[np.asarray(idx, np.int64)].sum())
+        expect = max(int(self.chunk_cells * M.nnz / max(M.shape[0], 1)), 1)
+        gran = max(expect // 16, 1024)
+        return ((total + gran) // gran + 1) * gran
+
     def _component(self, M, idx, K, is_input):
-        if K is not None:
+        mode = self._mode_x if is_input else self._mode_t
+        if mode == "flat":
+            from ..ops.densify import flat_payload_from_csr
+
+            L = self._flat_bucket(M, idx)
+            r, c, v = flat_payload_from_csr(M, idx, L)
+            return FlatChunk(r, c, v, len(idx), M.shape[1])
+        if mode == "padded":
             from ..ops.densify import payload_from_csr
 
             pi, pd = payload_from_csr(M, idx, K)

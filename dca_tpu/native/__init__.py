@@ -91,6 +91,11 @@ def _load():
     lib.dca_csr_to_padded.argtypes = [
         p_i64, p_i32, p_f32, p_i64, i64, i64, ctypes.c_int32, p_i32, p_f32,
     ]
+    lib.dca_csr_to_flat.restype = i64
+    lib.dca_csr_to_flat.argtypes = [
+        p_i64, p_i32, p_f32, p_i64, i64, i64, ctypes.c_int32,
+        p_i32, p_i32, p_f32,
+    ]
     lib.dca_gather_rows.restype = None
     lib.dca_gather_rows.argtypes = [p_f32, p_i64, i64, i64, p_f32]
     lib.dca_format_rows.restype = i64
@@ -390,6 +395,54 @@ def csr_to_padded(indptr, indices, data, rows, K, pad_index):
         _ptr(out_dat, lib.dca_csr_to_padded.argtypes[8]),
     )
     return out_idx, out_dat
+
+
+def csr_to_flat(indptr, indices, data, rows, L, pad_row):
+    """Copy CSR rows into a FLAT padded COO payload (row, col, val) of
+    length ``L`` for the on-device flat scatter (ops/densify.py) — 12 bytes
+    per nonzero vs the padded scheme's 8 bytes per max-width slot; wins on
+    heavy-tailed row-nnz distributions.  Padding slots carry row id
+    ``pad_row`` (out of bounds, dropped by the scatter).
+
+    Returns (row_ids, col_ids, values, total_nnz); total_nnz > L means the
+    payload did not fit (caller picks a bigger bucket)."""
+    rows = _as_i64(rows)
+    n_rows = len(rows)
+    out_row = np.empty(L, np.int32)
+    out_col = np.empty(L, np.int32)
+    out_val = np.empty(L, np.float32)
+    lib = _load()
+    if lib is None:
+        indptr = _as_i64(indptr)
+        starts = indptr[rows]
+        lens = indptr[rows + 1] - starts
+        total = int(lens.sum())
+        if total > L:
+            return out_row, out_col, out_val, total
+        rr = np.repeat(np.arange(n_rows, dtype=np.int32), lens)
+        jj = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        src = np.repeat(starts, lens) + jj
+        out_row[:total] = rr
+        out_col[:total] = np.asarray(indices)[src]
+        out_val[:total] = np.asarray(data)[src]
+        out_row[total:] = pad_row
+        out_col[total:] = 0
+        out_val[total:] = 0.0
+        return out_row, out_col, out_val, total
+    indptr = _as_i64(indptr)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    total = lib.dca_csr_to_flat(
+        _ptr(indptr, lib.dca_csr_to_flat.argtypes[0]),
+        _ptr(indices, lib.dca_csr_to_flat.argtypes[1]),
+        _ptr(data, lib.dca_csr_to_flat.argtypes[2]),
+        _ptr(rows, lib.dca_csr_to_flat.argtypes[3]),
+        n_rows, L, np.int32(pad_row),
+        _ptr(out_row, lib.dca_csr_to_flat.argtypes[7]),
+        _ptr(out_col, lib.dca_csr_to_flat.argtypes[8]),
+        _ptr(out_val, lib.dca_csr_to_flat.argtypes[9]),
+    )
+    return out_row, out_col, out_val, int(total)
 
 
 def gather_rows(src, rows, out=None):

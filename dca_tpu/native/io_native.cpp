@@ -22,6 +22,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -188,6 +189,47 @@ void dca_csr_to_padded(const int64_t* indptr, const int32_t* indices,
         for (int64_t k = len; k < K; k++) di[k] = pad_index + (int32_t)(k - len);
         memset(dv + len, 0, (K - len) * sizeof(float));
     }
+}
+
+// CSR rows -> FLAT padded COO payload (row id, column id, value), length L,
+// for on-device densification via a flat scatter (ops/densify.py).  Unlike
+// the fixed-width padded scheme (dca_csr_to_padded: 8 bytes per SLOT, K =
+// max nnz/row), the flat payload costs 12 bytes per NONZERO — the better
+// encoding whenever the row-nnz distribution is heavy-tailed (K much larger
+// than the mean), which real single-cell depth distributions are.
+// Slots past the total nnz carry row id pad_row (>= n_rows, dropped by the
+// device scatter's out-of-bounds mode), col 0, value 0.  Returns the total
+// nnz of the selected rows; the caller must ensure it fits L (entries past
+// L are not written).
+int64_t dca_csr_to_flat(const int64_t* indptr, const int32_t* indices,
+                        const float* data, const int64_t* rows,
+                        int64_t n_rows, int64_t L, int32_t pad_row,
+                        int32_t* out_row, int32_t* out_col, float* out_val) {
+    // serial prefix of output offsets (n_rows adds; negligible)
+    int64_t total = 0;
+    std::vector<int64_t> off((size_t)n_rows + 1);
+    for (int64_t r = 0; r < n_rows; r++) {
+        off[(size_t)r] = total;
+        total += indptr[rows[r] + 1] - indptr[rows[r]];
+    }
+    off[(size_t)n_rows] = total;
+    if (total > L) return total;  // caller retries with a bigger bucket
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t s = indptr[rows[r]];
+        int64_t len = indptr[rows[r] + 1] - s;
+        int64_t o = off[(size_t)r];
+        memcpy(out_col + o, indices + s, len * sizeof(int32_t));
+        memcpy(out_val + o, data + s, len * sizeof(float));
+        for (int64_t k = 0; k < len; k++) out_row[o + k] = (int32_t)r;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t k = total; k < L; k++) {
+        out_row[k] = pad_row;
+        out_col[k] = 0;
+        out_val[k] = 0.0f;
+    }
+    return total;
 }
 
 // Gather dense f32 rows (fancy indexing) — the dense-matrix counterpart of

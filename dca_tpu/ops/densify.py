@@ -80,6 +80,66 @@ def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
     return _scatter(idx, dat, int(n_cols))
 
 
+def _flat_scatter_impl(row_ids, col_ids, vals, n_rows, n_cols):
+    # padding slots carry row id >= n_rows -> dropped; hints deliberately
+    # not passed (see _scatter_impl's platform-bug note)
+    return jnp.zeros((n_rows, n_cols), jnp.float32).at[row_ids, col_ids].add(
+        vals, mode="drop"
+    )
+
+
+_flat_scatter = jax.jit(_flat_scatter_impl, static_argnames=("n_rows", "n_cols"))
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _flat_scatter_scale(row_ids, col_ids, vals, mean, std, n_rows, n_cols):
+    return (_flat_scatter_impl(row_ids, col_ids, vals, n_rows, n_cols)
+            - mean) / std
+
+
+def device_densify_flat(row_ids, col_ids, vals, n_rows, n_cols,
+                        scale_mean=None, scale_std=None):
+    """Densify a FLAT padded COO payload (native.csr_to_flat) on-device.
+
+    The flat encoding costs 12 bytes per NONZERO where the padded scheme
+    costs 8 bytes per max-nnz-per-row SLOT — the better transfer format
+    whenever the row-nnz distribution is heavy-tailed (measured: the 1.3M-
+    cell corpus has max nnz/row 3.6x its mean, docs/benchmarks.md).
+    Optionally fuses the z-scale epilogue like device_densify."""
+    row_ids = jnp.asarray(row_ids, jnp.int32)
+    col_ids = jnp.asarray(col_ids, jnp.int32)
+    vals = jnp.asarray(vals, jnp.float32)
+    if scale_mean is not None:
+        return _flat_scatter_scale(
+            row_ids, col_ids, vals, jnp.asarray(scale_mean, jnp.float32),
+            jnp.asarray(scale_std, jnp.float32), int(n_rows), int(n_cols)
+        )
+    return _flat_scatter(row_ids, col_ids, vals, int(n_rows), int(n_cols))
+
+
+def flat_payload_from_csr(X, rows, L):
+    """Build the flat (row, col, val) payload for CSR rows via the C++ tier
+    (numpy fallback inside native.csr_to_flat).  ``L`` is the padded slot
+    count; raises if the rows' total nnz exceeds it (the loader buckets L
+    with margin)."""
+    from .. import native
+
+    if not getattr(X, "_dca_canonical", False):
+        X.sum_duplicates()
+        X.sort_indices()
+        try:
+            X._dca_canonical = True
+        except AttributeError:
+            pass
+    rows = np.asarray(rows, np.int64)
+    r, c, v, total = native.csr_to_flat(
+        X.indptr, X.indices, X.data, rows, int(L), len(rows)
+    )
+    if total > L:
+        raise ValueError(f"flat payload overflow: nnz {total} > L {L}")
+    return r, c, v
+
+
 def make_sharded_densifier(n_cols, out_sharding, with_scale):
     """Compile a payload scatter whose dense OUTPUT is pinned to a mesh
     sharding (rows over 'data') — the streaming-trainer mesh path

@@ -768,7 +768,7 @@ def _train_streaming(
     checkpoint_every/resume crash recovery — since the 1M-cell runs this
     path exists for are exactly the ones that need them."""
     from ..config import use_device_densify
-    from ..data.loader import SparseChunk, StreamingData
+    from ..data.loader import FlatChunk, SparseChunk, StreamingData
 
     X = adata.X
     sf = _size_factors(adata)
@@ -793,12 +793,17 @@ def _train_streaming(
     # Composes with the mesh path too: payloads are row-sharded over 'data'
     # and scattered shard-locally (make_sharded_densifier).
     dev_densify = use_device_densify()
+    # the mesh staging row-shards (B, K) slabs; the flat COO encoding has no
+    # clean row partition, so a mesh forces the padded payload
+    pmode = "padded" if mesh is not None else "auto"
     tr = StreamingData(X[:split_at], target[:split_at], sf[:split_at], chunk,
-                       scale_mean, scale_std, device_densify=dev_densify)
+                       scale_mean, scale_std, device_densify=dev_densify,
+                       payload_mode=pmode)
     has_val = split_at < n
     if has_val:
         va = StreamingData(X[split_at:], target[split_at:], sf[split_at:], chunk,
-                           scale_mean, scale_std, device_densify=dev_densify)
+                           scale_mean, scale_std, device_densify=dev_densify,
+                           payload_mode=pmode)
     n_train = split_at
 
     loss_fn = network.loss_fn
@@ -912,12 +917,21 @@ def _train_streaming(
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:
-        from ..ops.densify import device_densify as _dev_densify
+        from ..ops.densify import (
+            device_densify as _dev_densify,
+            device_densify_flat as _dev_densify_flat,
+        )
 
         def _to_device(c, scaled):
             if isinstance(c, SparseChunk):
                 return _dev_densify(
                     c.idx, c.dat, c.n_cols,
+                    scale_mean if scaled else None,
+                    scale_std if scaled else None,
+                )
+            if isinstance(c, FlatChunk):
+                return _dev_densify_flat(
+                    c.row, c.col, c.val, c.n_rows, c.n_cols,
                     scale_mean if scaled else None,
                     scale_std if scaled else None,
                 )

@@ -45,6 +45,16 @@ def test_matmul_dtype_resolution(monkeypatch):
     assert config.matmul_dtype() is None
 
 
+def test_matmul_dtype_rejects_typos(monkeypatch):
+    """A 'fp32'/'f16' typo must not silently change precision (ADVICE r2)."""
+    import pytest
+
+    for bogus in ("fp32", "f16", "float32", "yes"):
+        monkeypatch.setenv("DCA_TPU_MATMUL", bogus)
+        with pytest.raises(ValueError, match="DCA_TPU_MATMUL"):
+            config.matmul_dtype()
+
+
 def test_bf16_matmul_mode_close_to_f32(monkeypatch):
     """bf16 rounds only the matmul operands (f32 accumulation), so the
     forward pass must track the f32 path to bf16 input precision."""

@@ -111,3 +111,108 @@ def test_streaming_device_densify_matches_host(monkeypatch):
     np.testing.assert_allclose(
         h_host.history["val_loss"], h_dev.history["val_loss"], rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# flat COO payload (heavy-tailed row-nnz encoding, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_flat_payload_densify_matches_scipy():
+    from dca_tpu.ops.densify import device_densify_flat, flat_payload_from_csr
+
+    m = _random_csr(37, 55, 0.25, seed=5)
+    L = m.nnz + 64
+    r, c, v = flat_payload_from_csr(m, np.arange(37), L)
+    out = np.asarray(device_densify_flat(r, c, v, 37, 55))
+    np.testing.assert_allclose(out, m.toarray(), rtol=1e-6)
+
+
+def test_flat_payload_fused_scale():
+    from dca_tpu.ops.densify import device_densify_flat, flat_payload_from_csr
+
+    m = _random_csr(20, 30, 0.3, seed=6)
+    mean = np.linspace(0.1, 1.5, 30).astype(np.float32)
+    std = np.linspace(0.5, 2.5, 30).astype(np.float32)
+    r, c, v = flat_payload_from_csr(m, np.arange(20), m.nnz + 16)
+    got = np.asarray(device_densify_flat(r, c, v, 20, 30, mean, std))
+    np.testing.assert_allclose(got, (m.toarray() - mean) / std,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_csr_to_flat_native_matches_fallback(monkeypatch):
+    m = _random_csr(40, 70, 0.2, seed=7)
+    rows = np.arange(40, dtype=np.int64)[::-1]
+    L = m.nnz + 32
+    n_r, n_c, n_v, n_t = native.csr_to_flat(m.indptr, m.indices, m.data,
+                                            rows, L, 40)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    f_r, f_c, f_v, f_t = native.csr_to_flat(m.indptr, m.indices, m.data,
+                                            rows, L, 40)
+    assert n_t == f_t
+    np.testing.assert_array_equal(n_r, f_r)
+    np.testing.assert_array_equal(n_c, f_c)
+    np.testing.assert_array_equal(n_v, f_v)
+
+
+def test_flat_payload_overflow_raises():
+    from dca_tpu.ops.densify import flat_payload_from_csr
+
+    m = _random_csr(10, 20, 0.5, seed=8)
+    with pytest.raises(ValueError, match="overflow"):
+        flat_payload_from_csr(m, np.arange(10), m.nnz - 1)
+
+
+def test_loader_picks_flat_for_heavy_tail():
+    """A matrix with one whale row (K >> mean nnz) must choose the flat
+    encoding; a balanced matrix keeps the padded one."""
+    from dca_tpu.data.loader import FlatChunk, SparseChunk, StreamingData
+
+    rs = np.random.RandomState(9)
+    balanced = sp.csr_matrix((rs.uniform(size=(60, 80)) < 0.2).astype(np.float32))
+    whale = balanced.tolil()
+    whale[0, :] = 1.0  # one full row -> K = 80 vs mean ~16
+    whale = whale.tocsr()
+    sf = np.ones(60, np.float32)
+
+    sd_b = StreamingData(balanced, balanced, sf, 30, device_densify=True)
+    xb, _, _ = sd_b.materialize(np.arange(30))
+    assert isinstance(xb, SparseChunk)
+
+    sd_w = StreamingData(whale, whale, sf, 30, device_densify=True)
+    xw, tw, _ = sd_w.materialize(np.arange(30))
+    assert isinstance(xw, FlatChunk)
+    assert isinstance(tw, FlatChunk)
+    from dca_tpu.ops.densify import device_densify_flat
+
+    out = np.asarray(device_densify_flat(xw.row, xw.col, xw.val, 30, 80))
+    np.testing.assert_allclose(out, whale[:30].toarray(), rtol=1e-6)
+
+
+def test_streaming_flat_payload_matches_host(monkeypatch):
+    """Forced flat payloads train identically to the host-densify path."""
+    from conftest import make_counts
+    from dca_tpu.data import read_dataset, normalize
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.models import AE_types
+    from dca_tpu.train import train
+
+    X = make_counts(120, 12, seed=42)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+
+    def run():
+        ad = normalize(read_dataset(AnnData(sp.csr_matrix(X))), lazy_scale=True)
+        net = AE_types["nb-conddisp"](input_size=12, hidden_size=(8, 4, 8), seed=1)
+        net.build()
+        return train(ad, net, epochs=3, verbose=False, seed=0,
+                     max_device_cells=48)
+
+    monkeypatch.delenv("DCA_TPU_DEVICE_DENSIFY", raising=False)
+    h_host = run()
+    monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+    monkeypatch.setenv("DCA_TPU_PAYLOAD", "flat")
+    h_flat = run()
+    np.testing.assert_allclose(h_host.history["loss"], h_flat.history["loss"],
+                               rtol=1e-4)
