@@ -232,6 +232,26 @@ def zinb_nll(
     return result
 
 
+def nb_terms(y_true, y_pred, theta, *, scale_factor: float = 1.0):
+    """The two NB NLL summands the reference's debug mode histograms to
+    TensorBoard (loss.py:87-88,96-97: ``t1`` = lgamma terms, ``t2`` = the
+    log-ratio terms).  Used by the trainer's ``--debug --tensorboard``
+    per-epoch histogram logging (train/loop.py _TBLogger)."""
+    eps = EPS
+    y_true = _nan2zero(jnp.asarray(y_true, jnp.float32))
+    y_pred = jnp.asarray(y_pred, jnp.float32) * scale_factor
+    theta = jnp.minimum(jnp.asarray(theta, jnp.float32), THETA_CLIP)
+    t1 = (
+        jax.lax.lgamma(theta + eps)
+        + jax.lax.lgamma(y_true + 1.0)
+        - jax.lax.lgamma(y_true + theta + eps)
+    )
+    t2 = (theta + y_true) * jnp.log(1.0 + y_pred / (theta + eps)) + (
+        y_true * (jnp.log(theta + eps) - jnp.log(y_pred + eps))
+    )
+    return t1, t2
+
+
 def _debug_assert_finite(x, name):
     """Numerical sanitizer: the checkify analogue of the reference's
     tf.verify_tensor_all_finite asserts (loss.py:90-97).  The check is

@@ -76,6 +76,23 @@ class _TBLogger:
             )
             self.writer.histogram(tag, np.asarray(leaf), step)
 
+    def loss_terms(self, step, network, params, state, Xv, SFv, Tv):
+        """Debug-mode per-epoch histograms of the NLL summands — the
+        reference's ``tf.summary.histogram('t1'/'t2', ...)`` in NB.loss
+        (loss.py:96-97), evaluated on the validation split."""
+        from .. import losses as _losses
+
+        lk = network.definition.likelihood
+        if lk not in ("nb", "zinb"):
+            return
+        out, _ = network.apply(params, state, Xv, SFv, training=False)
+        if out["disp"] is None:
+            return
+        t1, t2 = _losses.nb_terms(Tv, out["output"], out["disp"])
+        self.writer.histogram("debug/t1", np.asarray(t1), step)
+        self.writer.histogram("debug/t2", np.asarray(t2), step)
+        self.writer.flush()
+
     def close(self):
         self.writer.close()
 
@@ -553,6 +570,9 @@ def _train_inner(
                  "val_loss": val_loss if has_val else None},
                 params,
             )
+            if debug and has_val:
+                tb.loss_terms(epoch, network, params, state,
+                              dev_Xval, dev_sfval, dev_Tval)
 
         # ----- callbacks (train.py:62-79) -----
         stop = cbs.end_epoch(epoch, monitor, params, state)

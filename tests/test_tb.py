@@ -98,3 +98,22 @@ def test_train_writes_tb_scalars(tmp_path, compiled):
     # weight histograms: per-epoch (python loop) or final-epoch (compiled)
     hist_steps = [s for s, d in events if any(v == "histogram" for v in d.values())]
     assert (n_epochs - 1) in hist_steps
+
+
+def test_debug_mode_writes_loss_term_histograms(tmp_path):
+    """--debug --tensorboard adds per-epoch t1/t2 histograms (the
+    reference's loss.py:96-97 debug summaries)."""
+    from dca_tpu.models import AE_types
+    from dca_tpu.train.loop import train
+
+    ad = _tiny_adata()
+    net = AE_types["nb-conddisp"](input_size=30, hidden_size=(8, 4, 8),
+                                  debug=True, seed=1)
+    net.build()
+    train(ad, net, epochs=2, early_stop=0, reduce_lr=0, tensorboard=True,
+          output_dir=str(tmp_path), verbose=False, compiled=False)
+    files = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.tfevents.*"))
+    events = read_events(files[0])
+    t1_steps = {s for s, d in events if d.get("debug/t1") == "histogram"}
+    t2_steps = {s for s, d in events if d.get("debug/t2") == "histogram"}
+    assert {0, 1} <= t1_steps and {0, 1} <= t2_steps
