@@ -150,6 +150,27 @@ class StreamingData:
         self._K_t = self._payload_width(target) if device_densify else None
         self._mode_x = self._pick_mode(X, self._K_x, mode)
         self._mode_t = self._pick_mode(target, self._K_t, mode)
+        # input and target usually share the sparsity PATTERN (normalize
+        # only rescales values: size factors, log1p, lazy z-scale — the
+        # nonzero structure of raw counts survives).  When they do, the
+        # index stream of each chunk is built and SHIPPED once; the target
+        # payload reuses the input's row/col arrays by identity and the
+        # staging layer transfers them a single time (train/loop.py).
+        self._shared_pattern = bool(
+            device_densify and self._pattern_shared(X, target)
+        )
+
+    @staticmethod
+    def _pattern_shared(A, B):
+        if A is B:
+            return True
+        if not (sp.isspmatrix_csr(A) and sp.isspmatrix_csr(B)):
+            return False
+        if A.shape != B.shape or A.nnz != B.nnz:
+            return False
+        return np.array_equal(A.indptr, B.indptr) and np.array_equal(
+            A.indices, B.indices
+        )
 
     @staticmethod
     def _payload_width(M):
@@ -198,6 +219,17 @@ class StreamingData:
     def materialize(self, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         x = self._component(self.X, idx, self._K_x, True)
         t = self._component(self.target, idx, self._K_t, False)
+        if self._shared_pattern:
+            # equal by construction — alias by IDENTITY so the staging
+            # layer ships the index stream once per chunk
+            if isinstance(x, FlatChunk) and isinstance(t, FlatChunk) and (
+                x.row.shape == t.row.shape
+            ):
+                t.row, t.col = x.row, x.col
+            elif isinstance(x, SparseChunk) and isinstance(t, SparseChunk) and (
+                x.idx.shape == t.idx.shape
+            ):
+                t.idx = x.idx
         return x, t, self.sf[idx]
 
     def index_chunks(self, perm: np.ndarray) -> Iterator[np.ndarray]:

@@ -899,7 +899,7 @@ def _train_streaming(
             sh = bsh if arr.shape[0] % n_data_axis == 0 else rsh
             return jax.device_put(arr, sh)
 
-        def _mesh_densify(c, scaled):
+        def _mesh_densify(c, scaled, idx_dev=None):
             # pjit out_shardings require divisibility; the odd-sized final
             # part of an epoch falls back to a replicated dense block (it is
             # at most chunk-1 rows and still trains data-parallel via the
@@ -910,20 +910,29 @@ def _train_streaming(
                 _densifiers[key] = make_sharded_densifier(
                     c.n_cols, bsh if even else rsh, scaled
                 )
-            idx = _put_rows(np.ascontiguousarray(c.idx))
+            idx = idx_dev if idx_dev is not None else _put_rows(
+                np.ascontiguousarray(c.idx)
+            )
             dat = _put_rows(np.ascontiguousarray(c.dat))
             if scaled:
                 return _densifiers[key](idx, dat, jnp.asarray(scale_mean),
-                                        jnp.asarray(scale_std))
-            return _densifiers[key](idx, dat)
+                                        jnp.asarray(scale_std)), idx
+            return _densifiers[key](idx, dat), idx
 
         def _stage(xc, tc, sfc):
             if isinstance(xc, SparseChunk) or isinstance(tc, SparseChunk):
-                xd = (_mesh_densify(xc, scale_mean is not None)
-                      if isinstance(xc, SparseChunk)
-                      else _put_rows(np.asarray(xc, np.float32)))
-                td = (_mesh_densify(tc, False) if isinstance(tc, SparseChunk)
-                      else _put_rows(np.asarray(tc, np.float32)))
+                idx_dev = None
+                if isinstance(xc, SparseChunk):
+                    xd, idx_dev = _mesh_densify(xc, scale_mean is not None)
+                else:
+                    xd = _put_rows(np.asarray(xc, np.float32))
+                if isinstance(tc, SparseChunk):
+                    shared = isinstance(xc, SparseChunk) and tc.idx is xc.idx
+                    td, _ = _mesh_densify(
+                        tc, False, idx_dev if shared else None
+                    )
+                else:
+                    td = _put_rows(np.asarray(tc, np.float32))
                 sfc = np.asarray(sfc, np.float32)
                 if jax.process_count() > 1:
                     from ..parallel.multihost import host_local_to_global
@@ -959,9 +968,35 @@ def _train_streaming(
 
         def _stage(xc, tc, sfc):
             # input chunks get the z-scale epilogue fused into the on-device
-            # scatter (the loader defers host scaling in payload mode)
-            return (_to_device(xc, scale_mean is not None),
-                    _to_device(tc, False), jnp.asarray(sfc))
+            # scatter (the loader defers host scaling in payload mode).
+            # When input and target share the sparsity pattern the loader
+            # aliases their index arrays by identity — transfer them ONCE
+            # and reuse the device copy for both scatters.
+            scaled = scale_mean is not None
+            if (isinstance(xc, FlatChunk) and isinstance(tc, FlatChunk)
+                    and xc.row is tc.row and xc.col is tc.col):
+                row_d = jnp.asarray(xc.row)
+                col_d = jnp.asarray(xc.col)
+                return (
+                    _dev_densify_flat(row_d, col_d, xc.val, xc.n_rows,
+                                      xc.n_cols, scale_mean if scaled else None,
+                                      scale_std if scaled else None),
+                    _dev_densify_flat(row_d, col_d, tc.val, tc.n_rows,
+                                      tc.n_cols),
+                    jnp.asarray(sfc),
+                )
+            if (isinstance(xc, SparseChunk) and isinstance(tc, SparseChunk)
+                    and xc.idx is tc.idx):
+                idx_d = jnp.asarray(xc.idx)
+                return (
+                    _dev_densify(idx_d, xc.dat, xc.n_cols,
+                                 scale_mean if scaled else None,
+                                 scale_std if scaled else None),
+                    _dev_densify(idx_d, tc.dat, tc.n_cols),
+                    jnp.asarray(sfc),
+                )
+            return (_to_device(xc, scaled), _to_device(tc, False),
+                    jnp.asarray(sfc))
 
     multiproc = mesh is not None and jax.process_count() > 1
     if multiproc:

@@ -216,3 +216,37 @@ def test_streaming_flat_payload_matches_host(monkeypatch):
     h_flat = run()
     np.testing.assert_allclose(h_host.history["loss"], h_flat.history["loss"],
                                rtol=1e-4)
+
+
+def test_shared_pattern_index_aliasing():
+    """normalize only rescales values, so input/target payloads share the
+    index stream by IDENTITY (shipped once per chunk by the trainer)."""
+    from dca_tpu.data.loader import FlatChunk, SparseChunk, StreamingData
+
+    rs = np.random.RandomState(11)
+    raw = sp.csr_matrix((rs.uniform(size=(50, 40)) < 0.3).astype(np.float32) *
+                        rs.poisson(3.0, size=(50, 40)).astype(np.float32))
+    raw.eliminate_zeros()
+    scaled = raw.copy()
+    scaled.data = np.log1p(scaled.data * 1.7)  # same pattern, new values
+    sf = np.ones(50, np.float32)
+
+    for mode, cls in (("padded", SparseChunk), ("flat", FlatChunk)):
+        sd = StreamingData(scaled, raw, sf, 25, device_densify=True,
+                           payload_mode=mode)
+        assert sd._shared_pattern
+        x, t, _ = sd.materialize(np.arange(25))
+        assert isinstance(x, cls) and isinstance(t, cls)
+        if mode == "flat":
+            assert t.row is x.row and t.col is x.col
+            assert t.val is not x.val
+        else:
+            assert t.idx is x.idx
+            assert t.dat is not x.dat
+
+    # different pattern -> no aliasing
+    other = raw.copy().tolil()
+    other[0, 0] = other[0, 0] + 1 if other[0, 0] == 0 else 0
+    sd2 = StreamingData(scaled, other.tocsr(), sf, 25, device_densify=True,
+                        payload_mode="padded")
+    assert not sd2._shared_pattern
