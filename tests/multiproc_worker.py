@@ -136,3 +136,31 @@ print("RANK%d SHIST %s" % (rank, ",".join(f"{v:.6f}" for v in hist3.history["los
 
 mhu.sync_global_devices("done")
 print(f"RANK{rank} DONE", flush=True)
+
+# ---- phase 4: streaming with SPARSE payload staging over the process
+# group: CSR input, on-device densify, padded payloads row-sharded via
+# host_local_to_global (train/loop.py _mesh_densify / _put_rows)
+import scipy.sparse as sp  # noqa: E402
+
+os.environ["DCA_TPU_DEVICE_DENSIFY"] = "1"
+sparse_counts = counts.copy()
+sparse_counts[sparse_counts < 2] = 0.0
+sparse_counts[:, 0] += 1
+sparse_counts[0, :] += 1
+ad4 = AnnData(
+    sp.csr_matrix(sparse_counts),
+    pd.DataFrame(index=pd.Index([f"c{i}" for i in range(N)])),
+    pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+)
+ad4 = normalize(read_dataset(ad4, check_counts=False), lazy_scale=True)
+net4 = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net4.build()
+hist4 = train(ad4, net4, epochs=2, batch_size=16, validation_split=0.25,
+              verbose=False, seed=0, devices=jax.devices(), compiled=False,
+              reduce_lr=0, early_stop=0, max_device_cells=32)
+print("RANK%d PHIST %s" % (rank, ",".join(f"{v:.6f}" for v in hist4.history["loss"])),
+      flush=True)
+del os.environ["DCA_TPU_DEVICE_DENSIFY"]
+
+mhu.sync_global_devices("phase4-done")
+print(f"RANK{rank} ALLDONE", flush=True)

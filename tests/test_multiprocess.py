@@ -117,6 +117,17 @@ def test_two_process_mesh_end_to_end(tmp_path):
     sref = _reference_streaming_hist()
     np.testing.assert_allclose(s0, sref, rtol=2e-3)
 
+    # phase 4: SPARSE payload staging over the process group (on-device
+    # densify; padded payloads row-sharded via host_local_to_global) —
+    # rank-identical and matching the single-process sparse-payload run
+    for out in outs:
+        assert "ALLDONE" in out, out
+    p0 = [float(v) for v in grab("PHIST", outs[0]).split(",")]
+    p1 = [float(v) for v in grab("PHIST", outs[1]).split(",")]
+    np.testing.assert_allclose(p0, p1, rtol=1e-6)
+    pref = _reference_sparse_payload_hist()
+    np.testing.assert_allclose(p0, pref, rtol=2e-3)
+
 
 def _reference_streaming_hist():
     """Phase-3 oracle: single-process STREAMING run, same data/config."""
@@ -143,6 +154,43 @@ def _reference_streaming_hist():
     hist = train(ad, net, epochs=2, batch_size=16, validation_split=0.25,
                  verbose=False, seed=0, compiled=False, reduce_lr=0,
                  early_stop=0, max_device_cells=32)
+    return hist.history["loss"]
+
+
+def _reference_sparse_payload_hist():
+    """Phase-4 oracle: single-process streaming run on the same SPARSE data
+    with on-device densification (payload staging)."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    from dca_tpu.data import normalize, read_dataset
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.models import AE_types
+    from dca_tpu.train import train
+
+    N, G = 64, 16
+    rs2 = np.random.RandomState(11)
+    counts = rs2.poisson(2.5, size=(N, G)).astype(np.float32)
+    counts[:, 0] += 1
+    counts[0, :] += 1
+    counts[counts < 2] = 0.0
+    counts[:, 0] += 1
+    counts[0, :] += 1
+    ad = AnnData(
+        sp.csr_matrix(counts),
+        pd.DataFrame(index=pd.Index([f"c{i}" for i in range(N)])),
+        pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+    )
+    ad = normalize(read_dataset(ad, check_counts=False), lazy_scale=True)
+    net = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+    net.build()
+    os.environ["DCA_TPU_DEVICE_DENSIFY"] = "1"
+    try:
+        hist = train(ad, net, epochs=2, batch_size=16, validation_split=0.25,
+                     verbose=False, seed=0, compiled=False, reduce_lr=0,
+                     early_stop=0, max_device_cells=32)
+    finally:
+        del os.environ["DCA_TPU_DEVICE_DENSIFY"]
     return hist.history["loss"]
 
 
