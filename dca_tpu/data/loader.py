@@ -67,17 +67,19 @@ class SparseChunk:
 
 
 class FlatChunk:
-    """FLAT padded COO payload of a chunk (native.csr_to_flat), densified on
-    device by ops.densify.device_densify_flat.
+    """FLAT padded COO payload of a chunk (ops.densify.flat_payload_from_csr),
+    densified on device by ops.densify.device_densify_flat.
 
-    12 bytes per nonzero vs SparseChunk's 8 bytes per max-width slot — the
-    better encoding on heavy-tailed row-nnz distributions (the loader picks
-    per matrix; DCA_TPU_PAYLOAD overrides)."""
+    Wire format: per-row ``counts`` (B+1 int32 — row ids are rebuilt ON
+    DEVICE from them), ``col`` ids (int16 when the panel fits), ``val``
+    f32: ~6-8 bytes per nonzero vs SparseChunk's 8 bytes per max-width
+    slot — the better encoding on heavy-tailed row-nnz distributions (the
+    loader picks per matrix; DCA_TPU_PAYLOAD overrides)."""
 
-    __slots__ = ("row", "col", "val", "n_rows", "n_cols")
+    __slots__ = ("counts", "col", "val", "n_rows", "n_cols")
 
-    def __init__(self, row, col, val, n_rows, n_cols):
-        self.row, self.col, self.val = row, col, val
+    def __init__(self, counts, col, val, n_rows, n_cols):
+        self.counts, self.col, self.val = counts, col, val
         self.n_rows, self.n_cols = int(n_rows), int(n_cols)
 
     @property
@@ -218,8 +220,8 @@ class StreamingData:
             from ..ops.densify import flat_payload_from_csr
 
             L = self._flat_bucket(M, idx)
-            r, c, v = flat_payload_from_csr(M, idx, L)
-            return FlatChunk(r, c, v, len(idx), M.shape[1])
+            counts, c, v = flat_payload_from_csr(M, idx, L)
+            return FlatChunk(counts, c, v, len(idx), M.shape[1])
         if mode == "padded":
             from ..ops.densify import payload_from_csr
 
@@ -237,9 +239,9 @@ class StreamingData:
             # equal by construction — alias by IDENTITY so the staging
             # layer ships the index stream once per chunk
             if isinstance(x, FlatChunk) and isinstance(t, FlatChunk) and (
-                x.row.shape == t.row.shape
+                x.col.shape == t.col.shape and x.col.dtype == t.col.dtype
             ):
-                t.row, t.col = x.row, x.col
+                t.counts, t.col = x.counts, x.col
             elif isinstance(x, SparseChunk) and isinstance(t, SparseChunk) and (
                 x.idx.shape == t.idx.shape
             ):

@@ -80,9 +80,17 @@ def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
     return _scatter(idx, dat, int(n_cols))
 
 
-def _flat_scatter_impl(row_ids, col_ids, vals, n_rows, n_cols):
-    # padding slots carry row id >= n_rows -> dropped; hints deliberately
-    # not passed (see _scatter_impl's platform-bug note)
+def _flat_scatter_impl(counts, col_ids, vals, n_rows, n_cols):
+    # Row ids are NOT shipped: they are reconstructed ON DEVICE from the
+    # O(B) per-row counts vector via jnp.repeat — counts[:n_rows] are the
+    # real rows (in order), counts[n_rows] covers the padding slots, whose
+    # reconstructed row id n_rows is out of bounds -> dropped.  Hints are
+    # deliberately not passed (see _scatter_impl's platform-bug note).
+    L = col_ids.shape[0]
+    row_ids = jnp.repeat(
+        jnp.arange(n_rows + 1, dtype=jnp.int32), counts, total_repeat_length=L
+    )
+    col_ids = col_ids.astype(jnp.int32)  # int16 on the wire when G < 32768
     return jnp.zeros((n_rows, n_cols), jnp.float32).at[row_ids, col_ids].add(
         vals, mode="drop"
     )
@@ -92,36 +100,41 @@ _flat_scatter = jax.jit(_flat_scatter_impl, static_argnames=("n_rows", "n_cols")
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
-def _flat_scatter_scale(row_ids, col_ids, vals, mean, std, n_rows, n_cols):
-    return (_flat_scatter_impl(row_ids, col_ids, vals, n_rows, n_cols)
+def _flat_scatter_scale(counts, col_ids, vals, mean, std, n_rows, n_cols):
+    return (_flat_scatter_impl(counts, col_ids, vals, n_rows, n_cols)
             - mean) / std
 
 
-def device_densify_flat(row_ids, col_ids, vals, n_rows, n_cols,
+def device_densify_flat(counts, col_ids, vals, n_rows, n_cols,
                         scale_mean=None, scale_std=None):
-    """Densify a FLAT padded COO payload (native.csr_to_flat) on-device.
+    """Densify a FLAT padded COO payload (flat_payload_from_csr) on-device.
 
-    The flat encoding costs 12 bytes per NONZERO where the padded scheme
-    costs 8 bytes per max-nnz-per-row SLOT — the better transfer format
-    whenever the row-nnz distribution is heavy-tailed (measured: the 1.3M-
-    cell corpus has max nnz/row 3.6x its mean, docs/benchmarks.md).
-    Optionally fuses the z-scale epilogue like device_densify."""
-    row_ids = jnp.asarray(row_ids, jnp.int32)
-    col_ids = jnp.asarray(col_ids, jnp.int32)
+    Wire format per part: ``counts`` (B+1 int32 — per-row nnz plus one
+    padding entry), ``col_ids`` (L int16 when the gene panel < 32768, else
+    int32), ``vals`` (L f32).  That is ~6-8 bytes per NONZERO vs the
+    padded scheme's 8 bytes per max-nnz-per-row SLOT — the better
+    transfer format whenever the row-nnz distribution is heavy-tailed
+    (measured: the 1.3M-cell corpus has max nnz/row 3.6x its mean,
+    docs/benchmarks.md); row ids are rebuilt on device from ``counts``
+    instead of being shipped at 4 bytes per nonzero.  Optionally fuses
+    the z-scale epilogue like device_densify."""
+    counts = jnp.asarray(counts, jnp.int32)
+    col_ids = jnp.asarray(col_ids)
     vals = jnp.asarray(vals, jnp.float32)
     if scale_mean is not None:
         return _flat_scatter_scale(
-            row_ids, col_ids, vals, jnp.asarray(scale_mean, jnp.float32),
+            counts, col_ids, vals, jnp.asarray(scale_mean, jnp.float32),
             jnp.asarray(scale_std, jnp.float32), int(n_rows), int(n_cols)
         )
-    return _flat_scatter(row_ids, col_ids, vals, int(n_rows), int(n_cols))
+    return _flat_scatter(counts, col_ids, vals, int(n_rows), int(n_cols))
 
 
 def flat_payload_from_csr(X, rows, L):
-    """Build the flat (row, col, val) payload for CSR rows via the C++ tier
-    (numpy fallback inside native.csr_to_flat).  ``L`` is the padded slot
-    count; raises if the rows' total nnz exceeds it (the loader buckets L
-    with margin)."""
+    """Build the flat (counts, cols, vals) payload for CSR rows via the C++
+    tier (numpy fallback inside native.csr_to_flat).  ``L`` is the padded
+    slot count; raises if the rows' total nnz exceeds it (the loader
+    buckets L with margin).  Column ids downcast to int16 when the panel
+    allows — half the index bytes on the wire."""
     from .. import native
 
     if not getattr(X, "_dca_canonical", False):
@@ -132,12 +145,18 @@ def flat_payload_from_csr(X, rows, L):
         except AttributeError:
             pass
     rows = np.asarray(rows, np.int64)
-    r, c, v, total = native.csr_to_flat(
+    _, c, v, total = native.csr_to_flat(
         X.indptr, X.indices, X.data, rows, int(L), len(rows)
     )
     if total > L:
         raise ValueError(f"flat payload overflow: nnz {total} > L {L}")
-    return r, c, v
+    lens = np.diff(X.indptr)[rows].astype(np.int64)
+    counts = np.empty(len(rows) + 1, np.int32)
+    counts[:-1] = lens
+    counts[-1] = L - total
+    if X.shape[1] < np.iinfo(np.int16).max:
+        c = c.astype(np.int16)
+    return counts, c, v
 
 
 def make_sharded_densifier(n_cols, out_sharding, with_scale):

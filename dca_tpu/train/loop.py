@@ -960,7 +960,7 @@ def _train_streaming(
                 )
             if isinstance(c, FlatChunk):
                 return _dev_densify_flat(
-                    c.row, c.col, c.val, c.n_rows, c.n_cols,
+                    c.counts, c.col, c.val, c.n_rows, c.n_cols,
                     scale_mean if scaled else None,
                     scale_std if scaled else None,
                 )
@@ -974,14 +974,14 @@ def _train_streaming(
             # and reuse the device copy for both scatters.
             scaled = scale_mean is not None
             if (isinstance(xc, FlatChunk) and isinstance(tc, FlatChunk)
-                    and xc.row is tc.row and xc.col is tc.col):
-                row_d = jnp.asarray(xc.row)
+                    and xc.counts is tc.counts and xc.col is tc.col):
+                cnt_d = jnp.asarray(xc.counts)
                 col_d = jnp.asarray(xc.col)
                 return (
-                    _dev_densify_flat(row_d, col_d, xc.val, xc.n_rows,
+                    _dev_densify_flat(cnt_d, col_d, xc.val, xc.n_rows,
                                       xc.n_cols, scale_mean if scaled else None,
                                       scale_std if scaled else None),
-                    _dev_densify_flat(row_d, col_d, tc.val, tc.n_rows,
+                    _dev_densify_flat(cnt_d, col_d, tc.val, tc.n_rows,
                                       tc.n_cols),
                     jnp.asarray(sfc),
                 )

@@ -123,8 +123,10 @@ def test_flat_payload_densify_matches_scipy():
 
     m = _random_csr(37, 55, 0.25, seed=5)
     L = m.nnz + 64
-    r, c, v = flat_payload_from_csr(m, np.arange(37), L)
-    out = np.asarray(device_densify_flat(r, c, v, 37, 55))
+    counts, c, v = flat_payload_from_csr(m, np.arange(37), L)
+    assert c.dtype == np.int16  # 55 columns -> int16 on the wire
+    assert counts.shape == (38,) and counts[-1] == 64
+    out = np.asarray(device_densify_flat(counts, c, v, 37, 55))
     np.testing.assert_allclose(out, m.toarray(), rtol=1e-6)
 
 
@@ -134,8 +136,8 @@ def test_flat_payload_fused_scale():
     m = _random_csr(20, 30, 0.3, seed=6)
     mean = np.linspace(0.1, 1.5, 30).astype(np.float32)
     std = np.linspace(0.5, 2.5, 30).astype(np.float32)
-    r, c, v = flat_payload_from_csr(m, np.arange(20), m.nnz + 16)
-    got = np.asarray(device_densify_flat(r, c, v, 20, 30, mean, std))
+    counts, c, v = flat_payload_from_csr(m, np.arange(20), m.nnz + 16)
+    got = np.asarray(device_densify_flat(counts, c, v, 20, 30, mean, std))
     np.testing.assert_allclose(got, (m.toarray() - mean) / std,
                                rtol=1e-5, atol=1e-6)
 
@@ -185,7 +187,7 @@ def test_loader_picks_flat_for_heavy_tail():
     assert isinstance(tw, FlatChunk)
     from dca_tpu.ops.densify import device_densify_flat
 
-    out = np.asarray(device_densify_flat(xw.row, xw.col, xw.val, 30, 80))
+    out = np.asarray(device_densify_flat(xw.counts, xw.col, xw.val, 30, 80))
     np.testing.assert_allclose(out, whale[:30].toarray(), rtol=1e-6)
 
 
@@ -238,7 +240,7 @@ def test_shared_pattern_index_aliasing():
         x, t, _ = sd.materialize(np.arange(25))
         assert isinstance(x, cls) and isinstance(t, cls)
         if mode == "flat":
-            assert t.row is x.row and t.col is x.col
+            assert t.counts is x.counts and t.col is x.col
             assert t.val is not x.val
         else:
             assert t.idx is x.idx
@@ -250,3 +252,22 @@ def test_shared_pattern_index_aliasing():
     sd2 = StreamingData(scaled, other.tocsr(), sf, 25, device_densify=True,
                         payload_mode="padded")
     assert not sd2._shared_pattern
+
+
+def test_flat_payload_wide_panel_keeps_int32():
+    from dca_tpu.ops.densify import device_densify_flat, flat_payload_from_csr
+
+    rs = np.random.RandomState(12)
+    G = 40000  # > int16 range -> col ids stay int32
+    m = sp.csr_matrix(
+        (np.ones(50, np.float32),
+         (np.repeat(np.arange(5), 10),
+          rs.choice(G, size=50, replace=False))),
+        shape=(5, G),
+    )
+    m.sum_duplicates()
+    m.sort_indices()
+    counts, c, v = flat_payload_from_csr(m, np.arange(5), m.nnz + 8)
+    assert c.dtype == np.int32
+    out = np.asarray(device_densify_flat(counts, c, v, 5, G))
+    np.testing.assert_allclose(out, m.toarray(), rtol=1e-6)
