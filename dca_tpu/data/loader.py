@@ -192,27 +192,19 @@ class StreamingData:
         return "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
 
     def _flat_bucket(self, M, idx):
-        """Padded slot count for a part of ``len(idx)`` rows.
+        """Padded slot count for a part of ``len(idx)`` rows — DETERMINISTIC
+        in the part size via ops.densify.flat_slots_for, so every epoch's
+        permutation reuses the scatter compiled for its part size (a
+        data-dependent L caused per-epoch recompiles — measured 1347 s vs
+        326 s steady flat epochs at the 1.3M corpus before this fix)."""
+        from ..ops.densify import flat_slots_for
 
-        DETERMINISTIC in the part size, not the sampled rows: L(b) =
-        b·mean + 8·sqrt(b)·std + 64 from the matrix's row-nnz moments, so
-        every epoch's permutation reuses the scatter compiled for its part
-        size (a data-dependent L caused per-epoch recompiles — measured
-        1347 s vs 326 s steady flat epochs at the 1.3M corpus before this
-        fix).  A >8-sigma permutation overflows up a deterministic x1.25
-        ladder instead of failing."""
-        b = len(idx)
         if not hasattr(self, "_nnz_moments"):
             self._nnz_moments = {}
         if id(M) not in self._nnz_moments:
             nnz = np.diff(M.indptr)
             self._nnz_moments[id(M)] = (float(nnz.mean()), float(nnz.std()))
-        mean, std = self._nnz_moments[id(M)]
-        L = int(b * mean + 8.0 * np.sqrt(b) * std) + 64
-        total = int(np.diff(M.indptr)[np.asarray(idx, np.int64)].sum())
-        while total > L:
-            L = int(L * 1.25) + 64
-        return L
+        return flat_slots_for(M, idx, self._nnz_moments[id(M)])
 
     def _component(self, M, idx, K, is_input):
         mode = self._mode_x if is_input else self._mode_t

@@ -248,10 +248,35 @@ class Autoencoder:
 
             self._predict_jit = _fwd
 
+        # CSR input + TPU: ship O(nnz) flat payloads and densify on device
+        # with the z-scale fused (same tier the streaming trainer uses) —
+        # at 1M-cell scale the dense input upload would otherwise rival
+        # the training epoch itself
+        from ..config import use_device_densify
+
+        use_payload = sp.isspmatrix_csr(count) and use_device_densify()
+        nnz_moments = None
+        if use_payload:
+            from ..ops.densify import (
+                device_densify_flat,
+                flat_payload_from_csr,
+                flat_slots_for,
+            )
+
+            _nnz = np.diff(count.indptr)
+            nnz_moments = (float(_nnz.mean()), float(_nnz.std()))
+
         def block(lo, hi):
-            x = _densify(count[lo:hi])
-            if scale_mean is not None:
-                x = (x - scale_mean) / scale_std
+            if use_payload:
+                rows = np.arange(lo, hi, dtype=np.int64)
+                L = flat_slots_for(count, rows, nnz_moments)
+                cnts, cols, vals = flat_payload_from_csr(count, rows, L)
+                x = device_densify_flat(cnts, cols, vals, hi - lo,
+                                        count.shape[1], scale_mean, scale_std)
+            else:
+                x = _densify(count[lo:hi])
+                if scale_mean is not None:
+                    x = (x - scale_mean) / scale_std
             out = self._predict_jit(self.params, self.state, x,
                                     size_factors[lo:hi])
             if keys is not None:

@@ -271,3 +271,29 @@ def test_flat_payload_wide_panel_keeps_int32():
     assert c.dtype == np.int32
     out = np.asarray(device_densify_flat(counts, c, v, 5, G))
     np.testing.assert_allclose(out, m.toarray(), rtol=1e-6)
+
+
+def test_forward_payload_path_matches_dense(monkeypatch):
+    """predict/forward on CSR input with device-densify on must equal the
+    host-densified forward exactly (same z-scale epilogue)."""
+    from dca_tpu.models import AE_types
+
+    rs = np.random.RandomState(13)
+    X = (rs.uniform(size=(70, 24)) < 0.3).astype(np.float32) * \
+        rs.poisson(3.0, size=(70, 24)).astype(np.float32)
+    Xs = sp.csr_matrix(X)
+    mean = X.mean(0).astype(np.float32)
+    std = (X.std(0) + 1.0).astype(np.float32)
+    sf = rs.uniform(0.5, 2.0, size=70).astype(np.float32)
+
+    net = AE_types["nb-conddisp"](input_size=24, hidden_size=(8, 4, 8), seed=2)
+    net.build()
+
+    monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "0")
+    ref = net.forward(Xs, sf, scale_mean=mean, scale_std=std, chunk_rows=32)
+    monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+    net._predict_jit = None
+    got = net.forward(Xs, sf, scale_mean=mean, scale_std=std, chunk_rows=32)
+    for k in ("output", "latent"):
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
