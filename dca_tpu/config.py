@@ -31,6 +31,18 @@ densifying on the host (C++ tier) and transferring dense.  'auto'
 (default) = on-device for TPU backends — measured 5.9x faster streaming
 epochs at 10% density on v5e (docs/benchmarks.md); the win shrinks as the
 max nnz per row approaches the gene count.
+
+DCA_TPU_PAYLOAD: 'padded'/'flat' force the on-device-densify payload
+encoding; 'auto' (default) picks per matrix from its row-nnz tail
+(data/loader.py).
+
+DCA_TPU_DERIVE_INPUT: '0' disables ship-one-payload mode (train/loop.py):
+by default, when the normalized streaming input is an elementwise per-row
+function of the raw target (the standard normalize pipeline), only the
+target payload crosses the link and the input is derived on device —
+halves the transfer of transfer-bound 1M-cell epochs at the cost of
+<=1-ulp input rounding vs the host-computed values (XLA vs numpy log1p);
+'0' ships both payloads bit-exactly.
 """
 
 from __future__ import annotations

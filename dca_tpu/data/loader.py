@@ -28,6 +28,19 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def canonicalize_csr(M):
+    """Sort/dedup a CSR matrix's indices in place, once (idempotent via the
+    ``_dca_canonical`` marker shared with ops/densify.py)."""
+    if sp.isspmatrix_csr(M) and not getattr(M, "_dca_canonical", False):
+        M.sum_duplicates()
+        M.sort_indices()
+        try:
+            M._dca_canonical = True
+        except AttributeError:
+            pass
+    return M
+
+
 def lazy_scale_stats(X) -> Tuple[np.ndarray, np.ndarray]:
     """Per-gene (mean, std) with sc.pp.scale semantics (ddof=1, std 0 -> 1)
     computed without densifying a sparse X."""
@@ -122,6 +135,7 @@ class StreamingData:
         scale_std: Optional[np.ndarray] = None,
         device_densify: bool = False,
         payload_mode: str = "auto",
+        derive_input: bool = False,
     ):
         assert X.shape[0] == target.shape[0] == len(size_factors)
         self.X = X
@@ -161,6 +175,13 @@ class StreamingData:
         self._shared_pattern = bool(
             device_densify and self._pattern_shared(X, target)
         )
+        # derive_input (trainer-verified): the normalized input is an
+        # elementwise per-row function of the raw TARGET, so only the
+        # target payload is built and shipped; the trainer reconstructs
+        # the input on device (train/loop.py _derivable_row_scale)
+        self.derive_input = bool(derive_input and device_densify)
+        # lossless uint16 value stream for integer count matrices
+        self._int_vals = {}
 
     @staticmethod
     def _pattern_shared(A, B):
@@ -170,6 +191,10 @@ class StreamingData:
             return False
         if A.shape != B.shape or A.nnz != B.nnz:
             return False
+        # normalize's `diags @ X` leaves within-row index order unspecified
+        # — canonicalize before comparing (payload builders require it too)
+        canonicalize_csr(A)
+        canonicalize_csr(B)
         return np.array_equal(A.indptr, B.indptr) and np.array_equal(
             A.indices, B.indices
         )
@@ -206,13 +231,31 @@ class StreamingData:
             self._nnz_moments[id(M)] = (float(nnz.mean()), float(nnz.std()))
         return flat_slots_for(M, idx, self._nnz_moments[id(M)])
 
+    def _integral_vals(self, M):
+        """True when M's values are exact uint16 integers (raw counts) —
+        checked once per matrix, enables the lossless half-width value
+        stream."""
+        if id(M) not in self._int_vals:
+            d = M.data
+            self._int_vals[id(M)] = bool(
+                d.size == 0
+                or (
+                    d.min() >= 0
+                    and d.max() < np.iinfo(np.uint16).max
+                    and np.all(d == np.floor(d))
+                )
+            )
+        return self._int_vals[id(M)]
+
     def _component(self, M, idx, K, is_input):
         mode = self._mode_x if is_input else self._mode_t
         if mode == "flat":
             from ..ops.densify import flat_payload_from_csr
 
             L = self._flat_bucket(M, idx)
-            counts, c, v = flat_payload_from_csr(M, idx, L)
+            counts, c, v = flat_payload_from_csr(
+                M, idx, L, int_vals=self._integral_vals(M)
+            )
             return FlatChunk(counts, c, v, len(idx), M.shape[1])
         if mode == "padded":
             from ..ops.densify import payload_from_csr
@@ -225,6 +268,12 @@ class StreamingData:
         return x
 
     def materialize(self, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.derive_input:
+            # ship ONE payload: the trainer derives the input from the
+            # densified target on device (x is t by IDENTITY — the staging
+            # layer keys on that)
+            t = self._component(self.target, idx, self._K_t, False)
+            return t, t, self.sf[idx]
         x = self._component(self.X, idx, self._K_x, True)
         t = self._component(self.target, idx, self._K_t, False)
         if self._shared_pattern:

@@ -91,6 +91,7 @@ def _flat_scatter_impl(counts, col_ids, vals, n_rows, n_cols):
         jnp.arange(n_rows + 1, dtype=jnp.int32), counts, total_repeat_length=L
     )
     col_ids = col_ids.astype(jnp.int32)  # int16 on the wire when G < 32768
+    vals = vals.astype(jnp.float32)      # uint16 on the wire for raw counts
     return jnp.zeros((n_rows, n_cols), jnp.float32).at[row_ids, col_ids].add(
         vals, mode="drop"
     )
@@ -120,7 +121,7 @@ def device_densify_flat(counts, col_ids, vals, n_rows, n_cols,
     the z-scale epilogue like device_densify."""
     counts = jnp.asarray(counts, jnp.int32)
     col_ids = jnp.asarray(col_ids)
-    vals = jnp.asarray(vals, jnp.float32)
+    vals = jnp.asarray(vals)  # dtype preserved on the wire; f32 on device
     if scale_mean is not None:
         return _flat_scatter_scale(
             counts, col_ids, vals, jnp.asarray(scale_mean, jnp.float32),
@@ -151,21 +152,19 @@ def flat_slots_for(M, rows, moments=None):
     return L
 
 
-def flat_payload_from_csr(X, rows, L):
+def flat_payload_from_csr(X, rows, L, int_vals=False):
     """Build the flat (counts, cols, vals) payload for CSR rows via the C++
     tier (numpy fallback inside native.csr_to_flat).  ``L`` is the padded
     slot count; raises if the rows' total nnz exceeds it (the loader
     buckets L with margin).  Column ids downcast to int16 when the panel
-    allows — half the index bytes on the wire."""
+    allows; ``int_vals=True`` (caller-asserted: all values are integers in
+    [0, 65535) — raw counts) downcasts values to uint16 — each halves its
+    stream's bytes on the wire, losslessly."""
     from .. import native
 
-    if not getattr(X, "_dca_canonical", False):
-        X.sum_duplicates()
-        X.sort_indices()
-        try:
-            X._dca_canonical = True
-        except AttributeError:
-            pass
+    from ..data.loader import canonicalize_csr
+
+    canonicalize_csr(X)
     rows = np.asarray(rows, np.int64)
     _, c, v, total = native.csr_to_flat(
         X.indptr, X.indices, X.data, rows, int(L), len(rows)
@@ -178,6 +177,8 @@ def flat_payload_from_csr(X, rows, L):
     counts[-1] = L - total
     if X.shape[1] < np.iinfo(np.int16).max:
         c = c.astype(np.int16)
+    if int_vals:
+        v = v.astype(np.uint16)
     return counts, c, v
 
 
@@ -211,13 +212,9 @@ def payload_from_csr(X, rows, K=None):
     """
     from .. import native
 
-    if not getattr(X, "_dca_canonical", False):
-        X.sum_duplicates()
-        X.sort_indices()
-        try:
-            X._dca_canonical = True
-        except AttributeError:
-            pass
+    from ..data.loader import canonicalize_csr
+
+    canonicalize_csr(X)
     rows = np.asarray(rows, np.int64)
     if K is None:
         nnz = np.diff(X.indptr)[rows] if len(rows) else np.zeros(1, np.int64)
