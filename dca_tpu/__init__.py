@@ -7,7 +7,7 @@ API, the reference CLI flag surface, and data/model-parallel training over
 TPU meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .api import dca
 from .models import AE_types
