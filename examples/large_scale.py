@@ -8,9 +8,11 @@ Demonstrates the subsystems the reference lacks, composed the way a real
     of scaling in place, data/io.py);
   * the chunked streaming trainer (``max_device_cells``) — one host->HBM
     pass per epoch, all minibatch steps of a chunk run as one on-device scan;
-  * optional on-device densification (``DCA_TPU_DEVICE_DENSIFY=1``) shipping
-    O(nnz) payloads instead of dense chunks (docs/benchmarks.md: 3.2x faster
-    staging at 10% density);
+  * on-device densification (the TPU default) shipping O(nnz) payloads
+    instead of dense chunks — flat/padded encoding auto-picked, and under
+    the default pipeline only the raw-count target payload crosses the
+    link (the normalized input is derived on device; measured ladder at
+    1.3M×3451 in docs/benchmarks.md: 569.7 → 170.2 s/epoch);
   * crash-safe checkpointing (``checkpoint_every``/``resume``) of the FULL
     train state;
   * multi-chip: pass ``devices='all'`` to shard cells over a data mesh (on a
