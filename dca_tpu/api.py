@@ -76,12 +76,17 @@ def dca(
     nonzero_genes = _col_sums(adata.X) >= 1
     assert nonzero_genes.all(), "Please remove all-zero genes before using DCA."
 
+    from .data.io import auto_lazy_scale
+
     adata = normalize(
         adata,
         filter_min_counts=False,  # no filtering, keep cell and gene idxs same
         size_factors=normalize_per_cell,
         normalize_input=scale,
         logtrans_input=log1p,
+        # large sparse inputs keep X sparse end-to-end: z-scale is deferred
+        # to the on-device epilogue of the streaming trainer/predict
+        lazy_scale=auto_lazy_scale(adata),
     )
 
     network_kwds = {

@@ -221,6 +221,23 @@ def scale(adata):
     return adata
 
 
+def auto_lazy_scale(adata) -> bool:
+    """Should the public entry points defer z-scaling (``normalize(...,
+    lazy_scale=True)``) for this input?
+
+    True for SPARSE matrices whose dense form would exceed
+    ``DCA_TPU_HOST_DENSE_BYTES`` (default 2 GB) — `scale()` would densify
+    them on the host (float64!) and the streaming trainer would then ship
+    dense chunks, defeating the sparse pipeline the matrix size calls for.
+    Small or dense inputs keep the eager reference-parity path."""
+    import os
+
+    if not sp.issparse(adata.X):
+        return False
+    limit = int(os.environ.get("DCA_TPU_HOST_DENSE_BYTES", 2_000_000_000))
+    return adata.X.shape[0] * adata.X.shape[1] * 4 > limit
+
+
 def normalize(
     adata,
     filter_min_counts=True,

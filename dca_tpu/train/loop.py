@@ -338,6 +338,12 @@ def train(
 
     # ----- assemble host arrays (train.py:83-89) -----
     X = _densify(adata.X)
+    if "dca_scale_mean" in adata.uns:
+        # deferred z-scale (normalize(lazy_scale=True)): the dense path
+        # applies it at assembly so lazy-normalized data trains identically
+        # whether it lands here or in the streaming trainer
+        X = (X - np.asarray(adata.uns["dca_scale_mean"], np.float32)) / \
+            np.asarray(adata.uns["dca_scale_std"], np.float32)
     sf = _size_factors(adata)
     if output_subset:
         gene_idx = [np.where(adata.raw.var_names == x)[0][0] for x in output_subset]
@@ -621,6 +627,9 @@ def train_with_args(args):
         size_factors=args.sizefactors,
         logtrans_input=args.loginput,
         normalize_input=args.norminput,
+        # large sparse inputs stay sparse end-to-end (z-scale deferred to
+        # the streaming trainer's on-device epilogue)
+        lazy_scale=dio.auto_lazy_scale(adata),
     )
 
     if args.denoisesubset:

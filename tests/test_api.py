@@ -134,3 +134,32 @@ def test_zinb_conddisp_info_from_input_matrix(adata):
     # and they differ from what the denoised matrix would give
     out_post = net.forward(np.asarray(adata.X), sf)
     assert not np.allclose(adata.obsm["X_dca_dispersion"], out_post["disp"], rtol=1e-3)
+
+
+def test_dca_auto_lazy_scale_keeps_sparse(monkeypatch):
+    """dca() on a large SPARSE matrix must keep X sparse end-to-end (lazy
+    z-scale + streaming + on-device epilogue) instead of densifying on the
+    host — gated by DCA_TPU_HOST_DENSE_BYTES; small inputs keep the eager
+    reference-parity path."""
+    import scipy.sparse as sp
+
+    from conftest import make_counts
+    from dca_tpu import dca
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.data.io import auto_lazy_scale
+
+    X = make_counts(150, 20, seed=50)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+    ad_small = AnnData(sp.csr_matrix(X.copy()))
+    assert not auto_lazy_scale(ad_small)  # under the 2 GB default
+
+    monkeypatch.setenv("DCA_TPU_HOST_DENSE_BYTES", "1000")  # force lazy
+    ad = AnnData(sp.csr_matrix(X.copy()))
+    assert auto_lazy_scale(ad)
+    ret = dca(ad, mode="denoise", epochs=2, copy=True, verbose=False,
+              ae_type="nb-conddisp", return_info=True)
+    assert np.isfinite(np.asarray(ret.X)).all()
+    assert ret.X.shape == (150, 20)
+    assert "dca_loss_history" in ret.uns

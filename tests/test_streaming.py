@@ -195,3 +195,35 @@ def test_forward_chunked_matches_single_shot():
                 assert blocked[k].shape == v.shape, k
                 np.testing.assert_allclose(blocked[k], v, rtol=1e-5,
                                            atol=1e-6, err_msg=k)
+
+
+def test_lazy_scale_dense_path_matches_eager():
+    """Lazy-normalized data that lands in the DENSE trainer (small enough
+    not to stream) must train exactly like eagerly scaled data — the
+    deferred z-scale is applied at assembly (auto-lazy can route mid-size
+    matrices here)."""
+    X = make_counts(100, 14, seed=36)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+
+    ad_eager = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy()))))
+    net_a = AE_types["nb-conddisp"](input_size=14, hidden_size=(8, 4, 8), seed=1)
+    net_a.build()
+    h_a = train(ad_eager, net_a, epochs=3, verbose=False, seed=5, compiled=False)
+
+    ad_lazy = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy()))),
+                        lazy_scale=True)
+    assert sp.issparse(ad_lazy.X)
+    net_b = AE_types["nb-conddisp"](input_size=14, hidden_size=(8, 4, 8), seed=1)
+    net_b.build()
+    h_b = train(ad_lazy, net_b, epochs=3, verbose=False, seed=5, compiled=False)
+
+    # lazy stats use the one-pass sparse variance (E[x^2]-E[x]^2) vs
+    # eager scale()'s two-pass float64 — ~1e-6 relative std difference
+    # drifts trajectories to ~1e-4 over epochs (same tolerance as the
+    # other lazy-vs-eager comparisons in this file)
+    np.testing.assert_allclose(h_a.history["loss"], h_b.history["loss"],
+                               rtol=1e-3)
+    np.testing.assert_allclose(h_a.history["val_loss"], h_b.history["val_loss"],
+                               rtol=1e-3)
