@@ -260,7 +260,8 @@ class StreamingData:
         if mode == "padded":
             from ..ops.densify import payload_from_csr
 
-            pi, pd = payload_from_csr(M, idx, K)
+            pi, pd = payload_from_csr(M, idx, K,
+                                      int_vals=self._integral_vals(M))
             return SparseChunk(pi, pd, M.shape[1])
         x = _gather_dense(M, idx)
         if is_input and self.scale_mean is not None:

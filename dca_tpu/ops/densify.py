@@ -40,6 +40,8 @@ import numpy as np
 
 def _scatter_impl(idx, dat, n_cols):
     B, K = idx.shape
+    idx = idx.astype(jnp.int32)  # int16 on the wire when n_cols+K fits
+    dat = dat.astype(jnp.float32)  # uint16 on the wire for raw counts
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
     # padding slots carry ascending ids >= n_cols (out of bounds) -> 'drop'.
     # CSR payloads are canonical (sorted, unique per row; see payload_from_csr)
@@ -72,8 +74,8 @@ def device_densify(idx, dat, n_cols, scale_mean=None, scale_std=None):
     dat: (B, K) f32 values, padded with 0.  Returns the dense (B, n_cols)
     f32 array (scaled as ``(x - scale_mean) / scale_std`` when given).
     """
-    idx = jnp.asarray(idx, jnp.int32)
-    dat = jnp.asarray(dat, jnp.float32)
+    idx = jnp.asarray(idx)  # wire dtype preserved (int16 when it fits)
+    dat = jnp.asarray(dat)  # wire dtype preserved (uint16 for raw counts)
     if scale_mean is not None:
         return _scatter_scale(idx, dat, jnp.asarray(scale_mean, jnp.float32),
                               jnp.asarray(scale_std, jnp.float32), int(n_cols))
@@ -202,7 +204,7 @@ def make_sharded_densifier(n_cols, out_sharding, with_scale):
     return jax.jit(fn, out_shardings=out_sharding)
 
 
-def payload_from_csr(X, rows, K=None):
+def payload_from_csr(X, rows, K=None, int_vals=False):
     """Build the padded (idx, dat) payload for CSR rows via the C++ tier.
 
     ``K`` (slot width) defaults to the max nnz of the selected rows; pass the
@@ -222,6 +224,12 @@ def payload_from_csr(X, rows, K=None):
     idx, dat = native.csr_to_padded(
         X.indptr, X.indices, X.data, rows, int(K), X.shape[1]
     )
+    # halve the wire bytes losslessly where the ranges allow (padding ids
+    # ascend up to n_cols + K, so the id bound includes K)
+    if X.shape[1] + int(K) < np.iinfo(np.int16).max:
+        idx = idx.astype(np.int16)
+    if int_vals:
+        dat = dat.astype(np.uint16)
     return idx, dat
 
 

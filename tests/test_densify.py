@@ -401,3 +401,24 @@ def test_streaming_derived_input_matches_host(monkeypatch):
                                rtol=2e-3)
     np.testing.assert_allclose(h_host.history["val_loss"],
                                h_dev.history["val_loss"], rtol=2e-3)
+
+
+def test_padded_payload_int16_and_uint16_wire(monkeypatch):
+    """The padded encoding gets the same lossless wire downcasts as flat:
+    int16 ids when n_cols+K fits, uint16 values for integer counts — and
+    the scatter result is unchanged."""
+    from dca_tpu.data.loader import SparseChunk, StreamingData
+
+    rs = np.random.RandomState(16)
+    raw = sp.csr_matrix(
+        (rs.uniform(size=(30, 40)) < 0.3).astype(np.float32)
+        * rs.poisson(4.0, size=(30, 40)).astype(np.float32))
+    raw.eliminate_zeros()
+    sd = StreamingData(raw, raw, np.ones(30, np.float32), 15,
+                       device_densify=True, payload_mode="padded")
+    x, t, _ = sd.materialize(np.arange(15))
+    assert isinstance(t, SparseChunk)
+    assert t.idx.dtype == np.int16
+    assert t.dat.dtype == np.uint16
+    out = np.asarray(device_densify(t.idx, t.dat, 40))
+    np.testing.assert_array_equal(out, raw[:15].toarray())
