@@ -226,10 +226,13 @@ class StreamingData:
 
         if not hasattr(self, "_nnz_moments"):
             self._nnz_moments = {}
+            self._nnz_vec = {}
         if id(M) not in self._nnz_moments:
             nnz = np.diff(M.indptr)
+            self._nnz_vec[id(M)] = nnz
             self._nnz_moments[id(M)] = (float(nnz.mean()), float(nnz.std()))
-        return flat_slots_for(M, idx, self._nnz_moments[id(M)])
+        return flat_slots_for(M, idx, self._nnz_moments[id(M)],
+                              nnz=self._nnz_vec[id(M)])
 
     def _integral_vals(self, M):
         """True when M's values are exact uint16 integers (raw counts) —

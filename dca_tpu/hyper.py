@@ -317,12 +317,19 @@ def hyper_search(
     best_cfg, best_loss = None, float("inf")
     for i in range(n_trials):
         cfg = tpe.suggest()
-        try:
+        if i == 0:
+            # pre-flight (reference hyper.py:93 test_fn): the FIRST objective
+            # evaluation runs uncaught, so a broken space/objective aborts
+            # immediately with the real traceback instead of burning trials
+            # on swallowed exceptions; its result is kept as trial 0.
             loss = float(objective(cfg))
-        except Exception as e:  # catch_eval_exceptions=True (hyper.py:101)
-            if verbose:
-                print(f"dca_tpu hyper: trial {i} failed: {e}")
-            loss = float("inf")
+        else:
+            try:
+                loss = float(objective(cfg))
+            except Exception as e:  # catch_eval_exceptions=True (hyper.py:101)
+                if verbose:
+                    print(f"dca_tpu hyper: trial {i} failed: {e}")
+                loss = float("inf")
         tpe.observe(cfg, loss)
         if loss < best_loss:
             best_cfg, best_loss = cfg, loss

@@ -132,22 +132,23 @@ def device_densify_flat(counts, col_ids, vals, n_rows, n_cols,
     return _flat_scatter(counts, col_ids, vals, int(n_rows), int(n_cols))
 
 
-def flat_slots_for(M, rows, moments=None):
+def flat_slots_for(M, rows, moments=None, nnz=None):
     """Deterministic flat-payload slot count for ``rows`` of CSR ``M``.
 
     A function of the ROW COUNT and the matrix's row-nnz moments (not the
     sampled rows), so repeated same-size parts reuse one compiled scatter;
     a >8-sigma draw overflows up a deterministic x1.25 ladder.  Pass
-    ``moments=(mean, std)`` to amortize the np.diff over many calls."""
-    nnz = None
-    if moments is None:
+    ``moments=(mean, std)`` AND the precomputed per-row ``nnz`` vector to
+    amortize the O(n_cells) np.diff over many calls (the loader caches
+    both; recomputing nnz per part cost an extra host pass per part per
+    epoch at the 1.3M-cell scale)."""
+    if nnz is None:
         nnz = np.diff(M.indptr)
+    if moments is None:
         moments = (float(nnz.mean()), float(nnz.std()))
     mean, std = moments
     b = len(rows)
     L = int(b * mean + 8.0 * np.sqrt(b) * std) + 64
-    if nnz is None:
-        nnz = np.diff(M.indptr)
     total = int(nnz[np.asarray(rows, np.int64)].sum())
     while total > L:
         L = int(L * 1.25) + 64

@@ -114,9 +114,12 @@ def _histogram_proto(values: np.ndarray) -> bytes:
     v = v[np.isfinite(v)]
     if v.size == 0:
         v = np.zeros(1)
-    # TF's default bucket edges: +-1e-12 * 1.1^k geometric series
+    # TF's default bucket edges: +-1e-12 * 1.1^k geometric series, grown
+    # from max(|v|) so all-negative tensors (a bias drifting negative) get
+    # real negative buckets instead of one catch-all
+    vmax = np.abs(v).max(initial=0.0)
     limits = [1e-12]
-    while limits[-1] < v.max(initial=0.0) * 1.1 + 1e-12 and len(limits) < 776:
+    while limits[-1] < vmax * 1.1 + 1e-12 and len(limits) < 776:
         limits.append(limits[-1] * 1.1)
     neg = [-l for l in reversed(limits)]
     edges = np.asarray(neg + limits + [np.finfo(np.float64).max])

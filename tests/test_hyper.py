@@ -119,3 +119,37 @@ def test_hyper_search_end_to_end(tmp_path):
         best = json.load(f)
     assert "config" in best and "loss" in best
     assert best["config"]["aetype"] in ("zinb", "zinb-conddisp")
+
+
+def test_preflight_fails_fast_on_broken_objective(tmp_path):
+    """The FIRST objective evaluation is a pre-flight (reference hyper.py:93
+    test_fn): a broken space/objective must abort the search with the real
+    exception instead of burning trials on swallowed failures."""
+    adata = make_adata(30, 10, seed=3)
+
+    def broken(cfg):
+        raise RuntimeError("objective misconfigured")
+
+    with pytest.raises(RuntimeError, match="objective misconfigured"):
+        hyper_search(adata, n_trials=5, output_dir=str(tmp_path),
+                     objective=broken, verbose=False)
+
+
+def test_post_preflight_failures_still_caught(tmp_path):
+    """After the pre-flight, per-trial failures keep being recorded as inf
+    (reference catch_eval_exceptions=True) and the search completes."""
+    adata = make_adata(30, 10, seed=3)
+    calls = []
+
+    def flaky(cfg):
+        calls.append(1)
+        if len(calls) > 1:
+            raise RuntimeError("later trial fails")
+        return 1.0
+
+    best_cfg, best_loss, trials = hyper_search(
+        adata, n_trials=3, output_dir=str(tmp_path),
+        objective=flaky, verbose=False)
+    assert len(trials) == 3
+    assert best_loss == 1.0
+    assert [t["loss"] for t in trials[1:]] == [float("inf")] * 2

@@ -117,3 +117,19 @@ def test_debug_mode_writes_loss_term_histograms(tmp_path):
     t1_steps = {s for s, d in events if d.get("debug/t1") == "histogram"}
     t2_steps = {s for s, d in events if d.get("debug/t2") == "histogram"}
     assert {0, 1} <= t1_steps and {0, 1} <= t2_steps
+
+
+def test_histogram_buckets_cover_negative_values():
+    """Bucket edges must grow from max(|v|) (TF's writer semantics): an
+    all-negative tensor gets a real negative bucket ladder, not one
+    catch-all bucket (ADVICE r3)."""
+    from dca_tpu.tbevents import _histogram_proto
+
+    v = -np.abs(np.random.RandomState(0).normal(size=256)) - 0.5
+    proto_neg = _histogram_proto(v)
+    proto_pos = _histogram_proto(-v)
+    # mirrored data must produce comparably sized encodings (same ladder
+    # depth); the old max(v)-based ladder collapsed the negative side to a
+    # single bucket, an order of magnitude fewer bytes
+    assert len(proto_neg) > 0.5 * len(proto_pos), (
+        len(proto_neg), len(proto_pos))
