@@ -58,20 +58,24 @@ class _TBLogger:
 
         self.writer = EventWriter(logdir)
 
-    def epoch(self, step, scalars, params=None):
+    def epoch(self, step, scalars, params=None, grads=None):
         for k, v in scalars.items():
             if v is not None:
                 self.writer.scalar(k, float(v), step)
         if params is not None:
             self.histograms(step, params)
+        if grads is not None:
+            # the reference's write_grads=True (train.py:76-79): per-epoch
+            # GRADIENT distributions, evaluated on the monitored split
+            self.histograms(step, grads, prefix="grads/")
         self.writer.flush()
 
-    def histograms(self, step, params):
+    def histograms(self, step, params, prefix="weights/"):
         from jax.tree_util import tree_flatten_with_path
 
         leaves, _ = tree_flatten_with_path(params)
         for path, leaf in leaves:
-            tag = "weights/" + "/".join(
+            tag = prefix + "/".join(
                 str(getattr(p, "key", getattr(p, "idx", p))) for p in path
             )
             self.writer.histogram(tag, np.asarray(leaf), step)
@@ -485,6 +489,18 @@ def _train_inner(
     rem_step_fn = _checked_jit(rem_step_impl, debug)
     eval_fn = _checked_jit(eval_fn_impl, debug)
 
+    grad_fn = None
+    if tb is not None:
+        # write_grads=True analogue (reference train.py:76-79): per-epoch
+        # gradient histograms, evaluated on the monitored split like Keras
+        # evaluates its histogram_freq summaries on the validation data
+        def _grads_impl(params, state, xb, sfb, tbatch):
+            return jax.grad(
+                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None)[0]
+            )(params)
+
+        grad_fn = _checked_jit(_grads_impl, debug)
+
     params, state = network.params, network.state
     opt_state = opt.init(params)
     if mesh is not None:
@@ -570,11 +586,16 @@ def _train_inner(
             print(msg)
 
         if tb is not None:
+            if has_val:
+                grads = grad_fn(params, state, dev_Xval, dev_sfval, dev_Tval)
+            else:
+                grads = grad_fn(params, state, dev_Xtr, dev_sftr, dev_Ttr)
             tb.epoch(
                 epoch,
                 {"loss": train_loss, "lr": cbs.lr,
                  "val_loss": val_loss if has_val else None},
                 params,
+                grads,
             )
             if debug and has_val:
                 tb.loss_terms(epoch, network, params, state,
@@ -771,6 +792,16 @@ def _train_compiled(
                          "val_loss": val_np[e] if has_val else None})
     if tb is not None and n_run > 0:
         tb.histograms(n_run - 1, params)  # final weights only (see _TBLogger)
+        if has_val:
+            # final-epoch gradient histograms (write_grads analogue; the
+            # whole-fit-as-one-program path has no per-epoch host hop)
+            loss_fn = network.loss_fn
+            grads = jax.jit(
+                lambda p, s, x, sf, t: jax.grad(
+                    lambda pp: loss_fn(pp, s, x, sf, t, False, None)[0]
+                )(p)
+            )(params, state, Xval, SFval, Tval)
+            tb.histograms(n_run - 1, grads, prefix="grads/")
 
     network.params, network.state = params, state
     network._predict_jit = None
@@ -941,6 +972,18 @@ def _train_streaming(
     chunk_fn = _checked_jit(chunk_fn, debug)
     rem_fn = _checked_jit(rem_fn, debug)
     eval_chunk = _checked_jit(eval_chunk_impl, debug)
+
+    grad_fn = None
+    if tb is not None:
+        # write_grads=True analogue — evaluated per epoch on the first
+        # validation chunk (Keras computes its histogram summaries on the
+        # validation data), or the last staged train part without a split
+        def _grads_impl(params, state, xb, sfb, tbatch):
+            return jax.grad(
+                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None)[0]
+            )(params)
+
+        grad_fn = _checked_jit(_grads_impl, debug)
 
     params, state = network.params, network.state
     opt_state = opt.init(params)
@@ -1171,11 +1214,16 @@ def _train_streaming(
         hist.append("loss", train_loss)
         hist.append("lr", cbs.lr)
 
+        grad_src = None
+        if tb is not None and not has_val:
+            grad_src = (xcs, sfcs, tcs)  # last staged train part
         if has_val:
             vtot, vn = 0.0, 0
             order = np.arange(va.n)
             for idx_chunk in va.index_chunks(order):
                 xcs, tcs, sfcs = stage_part(va, idx_chunk)
+                if tb is not None and grad_src is None:
+                    grad_src = (xcs, sfcs, tcs)
                 vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
                 vn += len(idx_chunk)
             val_loss = vtot / max(vn, 1)
@@ -1191,11 +1239,14 @@ def _train_streaming(
             print(msg + f" - lr: {cbs.lr:.2e} [streaming]")
 
         if tb is not None:
+            grads = (grad_fn(params, state, *grad_src)
+                     if grad_src is not None else None)
             tb.epoch(
                 epoch,
                 {"loss": train_loss, "lr": cbs.lr,
                  "val_loss": val_loss if has_val else None},
                 params,
+                grads,
             )
 
         stop = cbs.end_epoch(epoch, monitor, params, state)
