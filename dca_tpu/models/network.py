@@ -166,13 +166,23 @@ class Autoencoder:
             return losses.poisson_loss(target, out, sample_weights=sample_weights)
 
         disp = outputs["disp"]
+
+        def _bcastable(a):
+            # fused-kernel operand contract (ops/fused_loss.py): full (B, G),
+            # constant-dispersion (1, G), or *-shared (B, 1) — the kernel
+            # broadcasts inside the tile, covering all 9 NB/ZINB archs
+            if a is None or len(a.shape) != 2:
+                return False
+            r, c = a.shape
+            B, G = out.shape
+            return (r == B or r == 1) and (c == G or c == 1)
+
         fused_ok = (
             sample_weights is None
             and not debug  # the sanitizer asserts live in the pure-JAX path
             and use_fused_loss()
             and hasattr(target, "shape")
-            and disp is not None
-            and tuple(disp.shape) == tuple(out.shape)
+            and _bcastable(disp)
         )
         if lk == "nb":
             if fused_ok:
@@ -186,7 +196,7 @@ class Autoencoder:
             )
         if lk == "zinb":
             pi = outputs["pi"]
-            if fused_ok and pi is not None and tuple(pi.shape) == tuple(out.shape):
+            if fused_ok and _bcastable(pi):
                 from ..ops.fused_loss import zinb_nll_fused
 
                 return zinb_nll_fused(

@@ -164,26 +164,49 @@ def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, cnt_ref, *, B, G, BM,
     cnt_ref[i, j] = jnp.sum(valid.astype(jnp.float32))
 
 
-def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, dmu_ref, dth_ref,
-                dpi_ref, *, B, G, BM, BN, ridge, with_pi):
+def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, *out_refs, B, G, BM,
+                BN, ridge, with_pi):
     i = pl.program_id(0)
     j = pl.program_id(1)
     scale = scale_ref[0, 0]
     y = y_ref[:]
     mu = mu_ref[:]
-    th = th_ref[:]
+    th = th_ref[:]  # may be a (1, BN)/(BM, 1) broadcast block (see _op_spec)
     pi = pi_ref[:] if with_pi else None
     dmu, dth, dpi = _elem_grads(y, mu, th, pi, ridge)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0) + i * BM
     cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * BN
     mask = (rows < B) & (cols < G)
-    zero = jnp.zeros_like(mu)
-    dmu_ref[:] = jnp.where(mask, dmu * scale, zero)
-    dth_ref[:] = jnp.where(mask, dth * scale, zero)
+    zero = jnp.zeros((BM, BN), jnp.float32)
+    out_refs[0][:] = jnp.where(mask, dmu * scale, zero)
+    out_refs[1][:] = jnp.where(mask, dth * scale, zero)
     if with_pi:
-        dpi_ref[:] = jnp.where(mask, dpi * scale, zero)
-    else:
-        dpi_ref[:] = zero
+        out_refs[2][:] = jnp.where(mask, dpi * scale, zero)
+
+
+def _op_spec(shape, BM, BN):
+    """BlockSpec for a (B, G), (1, G) or (B, 1) operand.  Broadcast dims get
+    block extent 1 with the block index pinned to 0, so the tile loads the
+    shared row/column once and the elementwise math broadcasts IN REGISTERS
+    — the (B, G) operand is never materialized in HBM (constant-dispersion
+    NB/ZINB θ is (1, G); the *-shared variants' θ/π are (B, 1))."""
+    rb, cb = shape
+    bm = BM if rb != 1 else 1
+    bn = BN if cb != 1 else 1
+    row_bcast, col_bcast = rb == 1, cb == 1
+
+    def imap(i, j):
+        return (0 if row_bcast else i, 0 if col_bcast else j)
+
+    return pl.BlockSpec((bm, bn), imap)
+
+
+def _reduce_to(g, shape):
+    """Sum a full (B, G) cotangent down to a broadcast operand's shape."""
+    if tuple(g.shape) == tuple(shape):
+        return g
+    axes = tuple(a for a in range(2) if shape[a] == 1 and g.shape[a] != 1)
+    return jnp.sum(g, axis=axes, keepdims=True)
 
 
 def _pallas_fwd(y, mu, th, pi, ridge, interpret):
@@ -201,7 +224,8 @@ def _pallas_fwd(y, mu, th, pi, ridge, interpret):
     partials, counts = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[block, block, block, block],
+        in_specs=[block, block, _op_spec(th.shape, BM, BN),
+                  _op_spec(pi_in.shape, BM, BN)],
         out_specs=[smem_out, smem_out],
         out_shape=[
             jax.ShapeDtypeStruct(grid, jnp.float32),
@@ -225,21 +249,29 @@ def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret):
         _bwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
     )
     out_shape = jax.ShapeDtypeStruct((B, G), jnp.float32)
-    dmu, dth, dpi = pl.pallas_call(
+    n_out = 3 if with_pi else 2  # no dummy all-zero dpi HBM write for NB
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block,
             block,
-            block,
-            block,
+            _op_spec(th.shape, BM, BN),
+            _op_spec(pi_in.shape, BM, BN),
         ],
-        out_specs=[block, block, block],
-        out_shape=[out_shape, out_shape, out_shape],
+        out_specs=[block] * n_out,
+        out_shape=[out_shape] * n_out,
         interpret=interpret,
     )(scale.reshape((1, 1)), y, mu, th, pi_in)
-    return dmu, dth, (dpi if with_pi else None)
+    dmu, dth = outs[0], outs[1]
+    # broadcast θ/π cotangents reduce to the operand's shape — the grads are
+    # computed full-tile in registers, summed here by XLA (training batches
+    # only; eval never reaches the bwd pass)
+    dth = _reduce_to(dth, th.shape)
+    if with_pi:
+        return dmu, dth, _reduce_to(outs[2], pi.shape)
+    return dmu, dth, None
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +286,11 @@ def zinb_nll_fused(y, mu, theta, pi, ridge_lambda=0.0, interpret=False):
     Semantics == losses.zinb_nll(y, mu, theta, pi, ridge_lambda=...,
     masking=True, mean=True) — identical to masking=False on finite
     targets, and NaN targets are masked per the reference's semantics.
-    mu/theta/pi must be finite and pre-broadcast to (B, G).
+    mu must be (B, G); theta/pi may be (B, G), (1, G) (constant
+    dispersion) or (B, 1) (*-shared) — broadcast dims are expanded inside
+    the tile, never materialized in HBM, and their cotangents are
+    sum-reduced back to the operand shape (the reference broadcasts θ
+    implicitly, loss.py:60-156).  All values must be finite.
     """
     loss, _ = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret)
     return loss
@@ -281,7 +317,8 @@ def nb_nll_fused(y, mu, theta, scale_factor=1.0, interpret=False):
 
     Semantics == losses.nb_nll(y, mu, theta, masking=True, mean=True):
     NaN targets are zeroed for the terms and excluded from the mean's
-    denominator (reference loss.py:80-82,109)."""
+    denominator (reference loss.py:80-82,109).  theta may be (B, G),
+    (1, G) or (B, 1) — see zinb_nll_fused."""
     del scale_factor  # parity arg; callers pre-scale mu (always 1.0 in-tree)
     loss, _ = _pallas_fwd(y, mu, theta, None, 0.0, interpret)
     return loss
