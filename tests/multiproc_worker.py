@@ -164,3 +164,66 @@ del os.environ["DCA_TPU_DEVICE_DENSIFY"]
 
 mhu.sync_global_devices("phase4-done")
 print(f"RANK{rank} ALLDONE", flush=True)
+
+# ---- phase 5: INDIVISIBLE row counts (auto-padding, VERDICT r3 item 5).
+# 61 cells, validation_split=0.3 -> 42 train / 19 val rows; neither divides
+# the 8-wide data axis, and the streaming parts (rem 10, val 19) don't
+# either — the trainer must zero-weight-pad instead of asserting, with
+# trajectories matching the single-process run.
+counts5 = counts[:61].copy()
+counts5[:, 0] += 1
+counts5[0, :] += 1
+
+
+def _adata5(X):
+    return normalize(read_dataset(AnnData(
+        X,
+        pd.DataFrame(index=pd.Index([f"c{i}" for i in range(61)])),
+        pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+    ), check_counts=False))
+
+
+net5 = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net5.build()
+hist5 = train(_adata5(counts5.copy()), net5, epochs=2, batch_size=16,
+              validation_split=0.3, verbose=False, seed=0,
+              devices=jax.devices(), compiled=False, reduce_lr=0, early_stop=0)
+print("RANK%d H5 %s|%s" % (
+    rank,
+    ",".join(f"{v:.6f}" for v in hist5.history["loss"]),
+    ",".join(f"{v:.6f}" for v in hist5.history["val_loss"])), flush=True)
+
+net5s = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net5s.build()
+hist5s = train(_adata5(counts5.copy()), net5s, epochs=2, batch_size=16,
+               validation_split=0.3, verbose=False, seed=0,
+               devices=jax.devices(), compiled=False, reduce_lr=0,
+               early_stop=0, max_device_cells=32)
+print("RANK%d S5 %s|%s" % (
+    rank,
+    ",".join(f"{v:.6f}" for v in hist5s.history["loss"]),
+    ",".join(f"{v:.6f}" for v in hist5s.history["val_loss"])), flush=True)
+
+os.environ["DCA_TPU_DEVICE_DENSIFY"] = "1"
+sparse5 = counts5.copy()
+sparse5[sparse5 < 2] = 0.0
+sparse5[:, 0] += 1
+sparse5[0, :] += 1
+ad5p = normalize(read_dataset(AnnData(
+    sp.csr_matrix(sparse5),
+    pd.DataFrame(index=pd.Index([f"c{i}" for i in range(61)])),
+    pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+), check_counts=False), lazy_scale=True)
+net5p = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net5p.build()
+hist5p = train(ad5p, net5p, epochs=2, batch_size=16, validation_split=0.3,
+               verbose=False, seed=0, devices=jax.devices(), compiled=False,
+               reduce_lr=0, early_stop=0, max_device_cells=32)
+print("RANK%d P5 %s|%s" % (
+    rank,
+    ",".join(f"{v:.6f}" for v in hist5p.history["loss"]),
+    ",".join(f"{v:.6f}" for v in hist5p.history["val_loss"])), flush=True)
+del os.environ["DCA_TPU_DEVICE_DENSIFY"]
+
+mhu.sync_global_devices("phase5-done")
+print(f"RANK{rank} PHASE5DONE", flush=True)
