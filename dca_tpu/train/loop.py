@@ -1222,7 +1222,13 @@ def _train_streaming(
             uses running BN statistics and no dropout.
 
         ``w`` is the weight vector ('val' with padding) or None."""
-        w = None
+        return _ship(_prepare(sd, idx_part, kind))
+
+    def _prepare(sd, idx_part, kind):
+        """Host half of staging: pad/slice the index part and materialize
+        the chunk payloads (C++ tier).  NO JAX calls — safe to run on the
+        prefetch thread even in multi-process mode."""
+        w_local = None
         if multiproc:
             n_real = len(idx_part)
             pad = (-n_real) % n_data
@@ -1236,22 +1242,66 @@ def _train_streaming(
                 g_rows = len(idx_part)
                 lo, hi = process_row_range(g_rows)
                 if pad and kind == "val":
-                    from jax.sharding import PartitionSpec as P
-
-                    from ..parallel.multihost import host_local_to_global
-
                     w_g = np.ones((g_rows,), np.float32)
                     w_g[n_real:] = 0.0
-                    w = host_local_to_global(mesh, P("data"), w_g[lo:hi])
+                    w_local = w_g[lo:hi]
                 idx_part = idx_part[lo:hi]
         else:
             g_rows = len(idx_part)
+        m = getattr(sd, "derive_m", None) if mesh is None else None
+        m_part = m[idx_part] if m is not None else None
+        return sd.materialize(idx_part), g_rows, w_local, m_part
+
+    def _ship(prep):
+        """Device half of staging: upload + on-device densify."""
+        mats, g_rows, w_local, m_part = prep
+        w = None
+        if w_local is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.multihost import host_local_to_global
+
+            w = host_local_to_global(mesh, P("data"), w_local)
         if mesh is not None:
-            return (*_stage(*sd.materialize(idx_part), g_rows), w)
-        m = getattr(sd, "derive_m", None)
-        if m is not None:
-            return (*_stage(*sd.materialize(idx_part), m[idx_part]), w)
-        return (*_stage(*sd.materialize(idx_part)), w)
+            return (*_stage(*mats, g_rows), w)
+        if m_part is not None:
+            return (*_stage(*mats, m_part), w)
+        return (*_stage(*mats), w)
+
+    # double-buffered staging (DCA_TPU_PREFETCH=0 disables): one background
+    # thread prepares part k+1 while the main thread blocks on part k's
+    # device scan — hides the host prep (and, single-process, the transfer
+    # too) behind compute (VERDICT r3 item 3).  Single-process the thread
+    # runs the full stage (C++ payload build releases the GIL; device_put
+    # is async), costing a second staged part in HBM — halve
+    # max_device_cells if that overflows.  MULTI-PROCESS the thread runs
+    # only the JAX-free host half and the main thread ships: concurrent
+    # dispatch would let ranks interleave collective programs in different
+    # orders and desync Gloo/ICI (measured: gloo size-mismatch crash).
+    prefetch_pool = None
+    if os.environ.get("DCA_TPU_PREFETCH", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _staged(tasks):
+        """Yield staged (x, t, sf, w) for (kind, sd, idx, ci) tasks, staging
+        one task ahead on the prefetch thread when enabled."""
+        if prefetch_pool is None:
+            for kind, sd, idx, _ in tasks:
+                yield stage_part(sd, idx, kind=kind)
+            return
+        work = (_prepare if multiproc else
+                (lambda sd, idx, kind: _ship(_prepare(sd, idx, kind))))
+        finish = _ship if multiproc else (lambda r: r)
+        fut = None
+        for kind, sd, idx, _ in tasks:
+            nxt = prefetch_pool.submit(work, sd, idx, kind)
+            if fut is not None:
+                yield finish(fut.result())
+            fut = nxt
+        if fut is not None:
+            yield finish(fut.result())
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
@@ -1293,43 +1343,49 @@ def _train_streaming(
         perm = rng_np.permutation(n_train)
         epoch_rng = jax.random.fold_in(base_rng, epoch)
         lr_arr = jnp.float32(cbs.lr)
-        total = 0.0
+
+        # the epoch's full staging schedule (train parts, then validation
+        # chunks — val data does not depend on params, so it can prefetch
+        # behind the last train scans too)
+        tasks = []  # (stage_kind, StreamingData, idx, chunk_counter)
         ci = 0
         for idx_chunk in tr.index_chunks(perm):
-            crng = jax.random.fold_in(epoch_rng, ci)
             n_c = len(idx_chunk)
             nb = n_c // bs
             if nb > 0:
-                xcs, tcs, sfcs, _ = stage_part(tr, idx_chunk[: nb * bs])
+                tasks.append(("full", tr, idx_chunk[: nb * bs], ci))
+            if n_c - nb * bs > 0:
+                tasks.append(("rem", tr, idx_chunk[nb * bs:], ci))
+            ci += 1
+        if has_val:
+            for idx_chunk in va.index_chunks(np.arange(va.n)):
+                tasks.append(("val", va, idx_chunk, 0))
+
+        total = 0.0
+        vtot, vn = 0.0, 0
+        grad_src = last_train = None
+        for (kind, _, idx, ci_k), staged in zip(tasks, _staged(tasks)):
+            xcs, tcs, sfcs, wcs = staged
+            if kind == "full":
                 params, state, opt_state, s = chunk_fn(
-                    params, state, opt_state, xcs, tcs, sfcs, lr_arr, crng,
+                    params, state, opt_state, xcs, tcs, sfcs, lr_arr,
+                    jax.random.fold_in(epoch_rng, ci_k),
                 )
                 total += float(s)
-            if n_c - nb * bs > 0:
-                xcs, tcs, sfcs, _ = stage_part(tr, idx_chunk[nb * bs:],
-                                               kind="rem")
+                last_train = (xcs, sfcs, tcs, None)
+            elif kind == "rem":
                 params, state, opt_state, s = rem_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
                     # scan step keys are fold_in(crng, step) — tag the
                     # remainder with a constant no step index can reach
-                    jax.random.fold_in(crng, 2**31 - 1),
+                    jax.random.fold_in(
+                        jax.random.fold_in(epoch_rng, ci_k), 2**31 - 1
+                    ),
                 )
                 total += float(s)
-            ci += 1
-
-        train_loss = total / max(n_train, 1)
-        hist.append("loss", train_loss)
-        hist.append("lr", cbs.lr)
-
-        grad_src = None
-        if tb is not None and not has_val:
-            grad_src = (xcs, sfcs, tcs, None)  # last staged train part
-        if has_val:
-            vtot, vn = 0.0, 0
-            order = np.arange(va.n)
-            for idx_chunk in va.index_chunks(order):
-                xcs, tcs, sfcs, wcs = stage_part(va, idx_chunk, kind="val")
-                if tb is not None and grad_src is None:
+                last_train = (xcs, sfcs, tcs, None)
+            else:
+                if grad_src is None:
                     grad_src = (xcs, sfcs, tcs, wcs)
                 if wcs is None:
                     vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
@@ -1337,7 +1393,15 @@ def _train_streaming(
                     vtot += float(
                         eval_chunk_w(params, state, xcs, sfcs, tcs, wcs)
                     )
-                vn += len(idx_chunk)
+                vn += len(idx)
+
+        train_loss = total / max(n_train, 1)
+        hist.append("loss", train_loss)
+        hist.append("lr", cbs.lr)
+
+        if tb is not None and not has_val:
+            grad_src = last_train  # last staged train part
+        if has_val:
             val_loss = vtot / max(vn, 1)
             hist.append("val_loss", val_loss)
             monitor = val_loss
@@ -1372,6 +1436,8 @@ def _train_streaming(
         if stop:
             break
 
+    if prefetch_pool is not None:
+        prefetch_pool.shutdown(wait=False)
     network.params, network.state = params, state
     network._predict_jit = None
     return hist

@@ -65,7 +65,7 @@ def test_two_process_mesh_end_to_end(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -127,6 +127,9 @@ def test_two_process_mesh_end_to_end(tmp_path):
     np.testing.assert_allclose(p0, p1, rtol=1e-6)
     pref = _reference_sparse_payload_hist()
     np.testing.assert_allclose(p0, pref, rtol=2e-3)
+
+    # phase 5: indivisible row counts (auto-padding)
+    _assert_phase5(outs)
 
 
 def _reference_streaming_hist():
@@ -274,33 +277,12 @@ def _phase5_oracles():
     return dense, stream, payload
 
 
-@pytest.mark.slow
-def test_two_process_indivisible_sizes(tmp_path):
-    """Phase 5 of the worker: train/val/part row counts that do NOT divide
-    the 8-wide data axis are auto-padded (zero-weight rows) and the
-    trajectories match the single-process run (VERDICT r3 item 5)."""
-    port = _free_port()
-    env = {**os.environ, "PYTHONPATH": os.path.dirname(HERE)}
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(rank), str(port), str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env,
-        )
-        for rank in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multi-process worker timed out")
-        outs.append(out)
-    for rank, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+def _assert_phase5(outs):
+    """Phase-5 assertions (called from the single end-to-end test — one
+    worker pair runs all phases): train/val/part row counts that do NOT
+    divide the 8-wide data axis are auto-padded and the trajectories match
+    the single-process run (VERDICT r3 item 5)."""
+    for rank, out in enumerate(outs):
         assert f"RANK{rank} PHASE5DONE" in out, out
 
     def grab(prefix, out):
