@@ -301,9 +301,26 @@ def hyper_search(
     objective=None,
     verbose=True,
     debug=False,
+    n_parallel: int = 1,
 ):
     """Run the TPE search; writes trials.pickle + best.json like the
-    reference (hyper.py:103-108). Returns (best_config, best_loss, trials)."""
+    reference (hyper.py:103-108). Returns (best_config, best_loss, trials).
+
+    ``n_parallel > 1`` evaluates trials in synchronous BATCHES of that size,
+    one worker thread per device (``jax.default_device`` is thread-local):
+    a batch of configs is suggested from the current TPE state, evaluated
+    concurrently, and observed in suggestion order — fully deterministic
+    for a given seed, and identical to the sequential search throughout the
+    TPE startup phase (the first ``n_startup=20`` suggestions are random
+    draws that do not depend on observations).  The small-dataset trials
+    the reference runs are independent, so idle REAL devices turn into a
+    trials/hour multiplier (VERDICT r3 item 9).  Measured caveat: on a
+    virtual CPU mesh (xla_force_host_platform_device_count) the "devices"
+    share one physical CPU's cores, so 4-way ran 0.85x sequential
+    (tests/test_hyper.py prints the ratio) — the win needs chips that
+    actually run concurrently; the CLI driver therefore engages this only
+    when more than one device exists and DCA_TPU_HYPER_PARALLEL can force
+    either way."""
     space = space or reference_space(hyperepoch)
     tpe = TPE(space, seed=seed)
     results_dir = os.path.join(output_dir, "hyperopt_results")
@@ -314,28 +331,66 @@ def hyper_search(
         lambda cfg: _objective(adata, cfg, debug=debug, seed=seed)
     )
 
+    run_on = None
+    if n_parallel > 1:
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        devices = jax.devices()
+        n_parallel = min(n_parallel, len(devices), n_trials)
+        pool = ThreadPoolExecutor(max_workers=n_parallel)
+
+        def run_on(slot, cfg):
+            with jax.default_device(devices[slot % len(devices)]):
+                return float(objective(cfg))
+
     best_cfg, best_loss = None, float("inf")
-    for i in range(n_trials):
-        cfg = tpe.suggest()
-        if i == 0:
-            # pre-flight (reference hyper.py:93 test_fn): the FIRST objective
-            # evaluation runs uncaught, so a broken space/objective aborts
-            # immediately with the real traceback instead of burning trials
-            # on swallowed exceptions; its result is kept as trial 0.
-            loss = float(objective(cfg))
-        else:
-            try:
-                loss = float(objective(cfg))
-            except Exception as e:  # catch_eval_exceptions=True (hyper.py:101)
-                if verbose:
-                    print(f"dca_tpu hyper: trial {i} failed: {e}")
-                loss = float("inf")
+
+    def _record(i, cfg, loss):
+        nonlocal best_cfg, best_loss
         tpe.observe(cfg, loss)
         if loss < best_loss:
             best_cfg, best_loss = cfg, loss
         if verbose:
             print(f"dca_tpu hyper: trial {i + 1}/{n_trials} loss={loss:.4f} "
                   f"best={best_loss:.4f}")
+
+    # pre-flight (reference hyper.py:93 test_fn): the FIRST objective
+    # evaluation runs uncaught, so a broken space/objective aborts
+    # immediately with the real traceback instead of burning trials on
+    # swallowed exceptions; its result is kept as trial 0.
+    cfg0 = tpe.suggest()
+    _record(0, cfg0, float(objective(cfg0)))
+
+    i = 1
+    while i < n_trials:
+        batch = [tpe.suggest()
+                 for _ in range(min(max(n_parallel, 1), n_trials - i))]
+        if run_on is not None and len(batch) > 1:
+            futs = [pool.submit(run_on, s, cfg)
+                    for s, cfg in enumerate(batch)]
+            results = []
+            for f, cfg in zip(futs, batch):
+                try:
+                    results.append(float(f.result()))
+                except Exception as e:  # catch_eval_exceptions (hyper.py:101)
+                    if verbose:
+                        print(f"dca_tpu hyper: trial failed: {e}")
+                    results.append(float("inf"))
+        else:
+            results = []
+            for cfg in batch:
+                try:
+                    results.append(float(objective(cfg)))
+                except Exception as e:  # catch_eval_exceptions (hyper.py:101)
+                    if verbose:
+                        print(f"dca_tpu hyper: trial {i} failed: {e}")
+                    results.append(float("inf"))
+        for cfg, loss in zip(batch, results):
+            _record(i, cfg, loss)
+            i += 1
+    if run_on is not None:
+        pool.shutdown(wait=False)
 
     with open(os.path.join(results_dir, "trials.pickle"), "wb") as f:
         pickle.dump(tpe.trials, f)
@@ -424,6 +479,15 @@ def hyper(args):
             f"compiles worst-case. Lower --hypern for a cheaper search."
         )
 
+    # concurrent trials: one per device when more than one device exists
+    # (an idle mesh runs the independent small-dataset trials in batches);
+    # a single chip keeps the sequential loop — same-device threads would
+    # only contend.  DCA_TPU_HYPER_PARALLEL overrides.
+    n_parallel = int(os.environ.get(
+        "DCA_TPU_HYPER_PARALLEL",
+        jax.device_count() if jax.device_count() > 1 else 1,
+    ))
+
     adata = read_dataset(args.input, transpose=args.transpose, test_split=False)
     best_cfg, best_loss, _ = hyper_search(
         adata,
@@ -432,6 +496,7 @@ def hyper(args):
         output_dir=args.outputdir,
         space=space,
         debug=args.debug,
+        n_parallel=n_parallel,
     )
     print({"loss": best_loss, "config": _jsonable(best_cfg)})
     return best_cfg

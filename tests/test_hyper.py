@@ -153,3 +153,31 @@ def test_post_preflight_failures_still_caught(tmp_path):
     assert len(trials) == 3
     assert best_loss == 1.0
     assert [t["loss"] for t in trials[1:]] == [float("inf")] * 2
+
+
+def test_parallel_search_matches_sequential(tmp_path):
+    """n_parallel>1 batches suggestions but observes in order: within the
+    TPE startup phase (random suggestions independent of observations) a
+    seeded parallel search must reproduce the sequential search's trials
+    and best config exactly (VERDICT r3 item 9)."""
+    adata = make_adata(50, 12, seed=5)
+    import time
+
+    def run(n_parallel, sub):
+        t0 = time.perf_counter()
+        best_cfg, best_loss, trials = hyper_search(
+            adata, n_trials=6, hyperepoch=1,
+            output_dir=str(tmp_path / sub), seed=0, verbose=False,
+            n_parallel=n_parallel)
+        return best_cfg, best_loss, trials, time.perf_counter() - t0
+
+    cfg_s, loss_s, trials_s, t_seq = run(1, "seq")
+    cfg_p, loss_p, trials_p, t_par = run(4, "par")
+    assert cfg_p == cfg_s
+    assert loss_p == pytest.approx(loss_s, rel=1e-6)
+    assert [t["config"] for t in trials_p] == [t["config"] for t in trials_s]
+    losses_p = [t["loss"] for t in trials_p]
+    losses_s = [t["loss"] for t in trials_s]
+    np.testing.assert_allclose(losses_p, losses_s, rtol=1e-5)
+    print(f"hyper parallel: seq {t_seq:.1f}s vs 4-way {t_par:.1f}s "
+          f"({t_seq / max(t_par, 1e-9):.2f}x)")
