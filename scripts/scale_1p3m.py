@@ -14,7 +14,11 @@ docs/benchmarks.md.
 
 Run (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/scale_1p3m.py
-Env knobs: N_CELLS (default 1_300_000), EPOCHS (default 3, first is warm).
+Env knobs: N_CELLS (default 1_300_000), EPOCHS (default 3, first is warm),
+BATCH (default 32 — the reference's CPU-era choice, train.py:96; corpus
+runs should try 512-2048), LR (default 1e-3 scaled by sqrt(BATCH/32) when
+BATCH != 32 — RMSprop sqrt-scaling; see scripts/batch_convergence_ab.py
+for the convergence-parity check backing large-batch use).
 """
 
 import os
@@ -111,6 +115,10 @@ def main():
     from dca_tpu.train import train
 
     epochs = int(os.environ.get("EPOCHS", 3))
+    batch = int(os.environ.get("BATCH", 32))
+    lr_env = os.environ.get("LR")
+    lr = (float(lr_env) if lr_env
+          else (1e-3 * (batch / 32.0) ** 0.5 if batch != 32 else None))
     X = make_counts_csr()
     n_cells = X.shape[0]
 
@@ -136,7 +144,7 @@ def main():
         train(
             ad, net_e, epochs=1, early_stop=0, reduce_lr=0,
             validation_split=0.0, verbose=False, seed=e,
-            max_device_cells=131072, batch_size=32,
+            max_device_cells=131072, batch_size=batch, learning_rate=lr,
         )
         dt = time.time() - t0
         times.append(dt)
@@ -155,6 +163,7 @@ def main():
                 cells_per_sec=round(n_cells / steady, 1),
                 peak_host_rss_gb=round(rss_gb, 1),
                 epochs_measured=len(times) - 1,
+                batch_size=batch,
             )
         )
     )
