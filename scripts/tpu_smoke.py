@@ -75,3 +75,30 @@ print("compiling densify...", flush=True)
 d = np.asarray(densify_csr(m.indptr, m.indices, m.data, G))
 derr = float(np.abs(d - m.toarray()).max())
 print(f"densify on-chip: maxerr={derr:.1e}")
+
+# ---------------------------------------------------------------------------
+# broadcast theta/pi operands ((1,G) constant disp / (B,1) shared) — the
+# round-4 in-tile broadcast paths must compile + agree on real Mosaic
+# ---------------------------------------------------------------------------
+
+from dca_tpu.ops.fused_loss import nb_nll_fused
+
+for th_s, pi_s in [((1, G), (B, G)), ((B, 1), (B, 1)), ((1, G), (1, G))]:
+    thb = jnp.asarray(rs.uniform(0.1, 5.0, size=th_s).astype(np.float32))
+    pib = jnp.asarray(rs.uniform(0.05, 0.7, size=pi_s).astype(np.float32))
+    rfn = jax.jit(lambda m, t, p: losses.zinb_nll(y, m, t, p, ridge_lambda=0.05))
+    ffn = jax.jit(lambda m, t, p: zinb_nll_fused(y, m, t, p, 0.05, False))
+    print(f"compiling broadcast zinb th{th_s} pi{pi_s}...", flush=True)
+    r = float(rfn(mu, thb, pib)); f = float(ffn(mu, thb, pib))
+    print(f"bcast zinb th{th_s} pi{pi_s}: relerr={abs(r-f)/abs(r):.2e}")
+    rg = jax.jit(jax.grad(lambda m, t, p: losses.zinb_nll(y, m, t, p, ridge_lambda=0.05), argnums=(0,1,2)))(mu, thb, pib)
+    fg = jax.jit(jax.grad(lambda m, t, p: zinb_nll_fused(y, m, t, p, 0.05, False), argnums=(0,1,2)))(mu, thb, pib)
+    for name, a_, b_ in zip(("dmu","dth","dpi"), rg, fg):
+        err = float(jnp.max(jnp.abs(a_-b_))/(float(jnp.max(jnp.abs(a_)))+1e-12))
+        print(f"  bcast grad {name}: relerr={err:.2e}  shape={tuple(b_.shape)}")
+
+thb = jnp.asarray(rs.uniform(0.1, 5.0, size=(1, G)).astype(np.float32))
+rn = float(jax.jit(lambda m, t: losses.nb_nll(y, m, t))(mu, thb))
+fn_ = float(jax.jit(lambda m, t: nb_nll_fused(y, m, t, 1.0, False))(mu, thb))
+print(f"bcast nb th(1,G): relerr={abs(rn-fn_)/abs(rn):.2e}")
+print("TPU smoke complete", flush=True)
