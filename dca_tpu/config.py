@@ -5,10 +5,11 @@ pure-JAX/XLA path, 'auto' (default) = fused on TPU backends only.
 
 DCA_TPU_FUSED_DENSE: '1' force inference Dense->BN->activation blocks and
 output-head epilogues through the fused Pallas kernel (ops/fused_dense.py);
-'0' force plain XLA; 'auto' (default) = fused output heads on TPU when the
-gene panel is wide (>= 8192 columns, beyond the measured crossover where
-the kernel beats XLA — docs/benchmarks.md), plain XLA otherwise.
-Equivalence-tested against the XLA path either way.
+'0' force plain XLA; 'auto' (default) = plain XLA at every width — the
+round-4 width sweep (G up to 28672, scripts/wide_ab.py) measured parity
+at <= 8k columns and a consistent ~0.87x regression at 16-28k, retiring
+round 3's single-point >= 8192 crossover.  Equivalence-tested against the
+XLA path either way.
 
 DCA_TPU_MATMUL: 'bf16' rounds the trunk/head matmul INPUTS to bfloat16
 while accumulating in float32 (the MXU's native mode — everything
@@ -19,8 +20,11 @@ epoch is dispatch/latency-bound, and the round-3 median-of-5 A/B on the
 driver workloads measured f32 at 122.5x baseline where the round-2
 bf16-default record was 63.5x (docs/benchmarks.md) — the rounding buys
 nothing at these shapes while changing output numerics vs the
-reference.  bf16 remains one env var away for wide custom panels where
-the MXU/HBM win can materialize; convergence at the reference workloads
+reference.  The round-4 width sweep (scripts/wide_ab.py: zinb-conddisp
+train step, G up to 28672, batch 32 and 1024, median-of-5 twice)
+measured bf16 within +-5% of f32 at EVERY width/batch — the step is
+elementwise/NLL-bound, not matmul-bound, so the default stays f32 even
+for full-transcriptome panels; convergence at the reference workloads
 was validated in round 2 (same early-stop epoch, val loss equal to 4
 decimals).
 
@@ -63,21 +67,20 @@ def use_fused_loss() -> bool:
 
 def use_fused_dense(n_out=None) -> bool:
     """'1' forces the fused Pallas inference blocks, '0' forces XLA; 'auto'
-    (default) uses the fused path on TPU for WIDE output panels only — the
-    measured crossover is in the thousands of output columns (1.17x at
-    G=10240 on v5e, docs/benchmarks.md); XLA is at parity below that."""
+    (default) is plain XLA at EVERY width.  Round-3 auto engaged fused at
+    >= 8192 columns off a single G=10240 sample (1.17x); the round-4
+    measured curve (scripts/wide_ab.py, median-of-5 twice, B=2048,
+    G in {4096, 8192, 16384, 28672}) shows parity within tunnel noise at
+    <= 8k and a consistent 0.85-0.89x REGRESSION at 16k/28k — XLA's own
+    fusion wins at full-transcriptome width on this chip, so auto no
+    longer engages the kernel (docs/benchmarks.md "Kernel A/B
+    decisions")."""
     mode = os.environ.get("DCA_TPU_FUSED_DENSE", "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
-    # v5e measurements: 0.93x at G=4096 (XLA wins), 1.17x at G=10240
-    # (fused wins) — crossover sits between, so auto engages at 8192
-    if n_out is None or n_out < 8192:
-        return False
-    import jax
-
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def matmul_dtype():

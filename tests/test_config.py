@@ -3,12 +3,14 @@
 from dca_tpu import config
 
 
-def test_fused_dense_auto_gates_on_width(monkeypatch):
+def test_fused_dense_auto_off_everywhere(monkeypatch):
     monkeypatch.delenv("DCA_TPU_FUSED_DENSE", raising=False)
-    # CPU backend in tests: auto is always off
+    # round-4 width sweep retired the >=8192 auto crossover: auto is plain
+    # XLA at every width (the kernel regressed 0.85-0.89x at 16-28k genes)
     assert not config.use_fused_dense()
     assert not config.use_fused_dense(200)
     assert not config.use_fused_dense(10240)
+    assert not config.use_fused_dense(28672)
     monkeypatch.setenv("DCA_TPU_FUSED_DENSE", "1")
     assert config.use_fused_dense()
     assert config.use_fused_dense(8)
