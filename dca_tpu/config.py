@@ -36,9 +36,12 @@ densifying on the host (C++ tier) and transferring dense.  'auto'
 epochs at 10% density on v5e (docs/benchmarks.md); the win shrinks as the
 max nnz per row approaches the gene count.
 
-DCA_TPU_PAYLOAD: 'padded'/'flat' force the on-device-densify payload
-encoding; 'auto' (default) picks per matrix from its row-nnz tail
-(data/loader.py).
+DCA_TPU_PAYLOAD: 'padded'/'flat'/'flat8' force the on-device-densify
+payload encoding; 'auto' (default) picks per matrix from its row-nnz tail,
+upgrading flat to FLAT8 (uint8 column-gap deltas + uint8 values with
+exception side-streams, ~2 B/nonzero, lossless) when most values are
+small integers — raw-count matrices, which is what the link-bandwidth-
+bound corpus epochs ship (data/loader.py, docs/benchmarks.md round 4).
 
 DCA_TPU_DERIVE_INPUT: '0' disables ship-one-payload mode (train/loop.py):
 by default, when the normalized streaming input is an elementwise per-row

@@ -79,6 +79,30 @@ class SparseChunk:
         return SparseChunk(self.idx[sl], self.dat[sl], self.n_cols)
 
 
+class Flat8Chunk:
+    """FLAT8 payload (ops.densify.flat8_payload_from_csr): uint8 column-gap
+    deltas + uint8 values with int32/f32 exception side-streams — ~2 bytes
+    per nonzero, half the flat format's wire bytes, LOSSLESS for arbitrary
+    values (non-uint8 values ride the exception stream).  Columns and row
+    ids are rebuilt on device (ops.densify.device_densify_flat8).  The
+    winning encoding for raw-count matrices, where the 1.3M-cell epoch is
+    link-bandwidth-bound (docs/benchmarks.md round-4 breakdown)."""
+
+    __slots__ = ("counts", "firstcol", "gaps", "vals", "gpos", "gval",
+                 "vpos", "vval", "n_rows", "n_cols")
+
+    def __init__(self, counts, firstcol, gaps, vals, gpos, gval, vpos, vval,
+                 n_rows, n_cols):
+        self.counts, self.firstcol, self.gaps, self.vals = (
+            counts, firstcol, gaps, vals)
+        self.gpos, self.gval, self.vpos, self.vval = gpos, gval, vpos, vval
+        self.n_rows, self.n_cols = int(n_rows), int(n_cols)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
 class FlatChunk:
     """FLAT padded COO payload of a chunk (ops.densify.flat_payload_from_csr),
     densified on device by ops.densify.device_densify_flat.
@@ -206,15 +230,52 @@ class StreamingData:
         nnz = np.diff(M.indptr)
         return max(int(nnz.max()) if nnz.size else 0, 1)
 
-    @staticmethod
-    def _pick_mode(M, K, mode):
+    def _pick_mode(self, M, K, mode):
         if K is None:
             return None  # dense host tier
-        if mode in ("padded", "flat"):
+        if mode in ("padded", "flat", "flat8"):
             return mode
         mean_nnz = max(M.nnz / max(M.shape[0], 1), 1.0)
         # bytes/row: padded 8*K vs flat 12*mean*1.15 (bucket margin)
-        return "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
+        picked = "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
+        if picked == "flat" and self._val_exc_rate(M) < 0.2:
+            # flat8 halves the flat wire bytes (~2 B/nnz vs ~4) as long as
+            # most values fit uint8 integers; each exception costs 8 extra
+            # bytes, so the break-even sits at a ~25% exception rate
+            picked = "flat8"
+        return picked
+
+    def _val_exc_rate(self, M):
+        """Fraction of values a flat8 payload must carry as exceptions
+        (outside integer [0, 255]) — one cached O(nnz) pass per matrix."""
+        if not hasattr(self, "_vexc_rates"):
+            self._vexc_rates = {}
+        if id(M) not in self._vexc_rates:
+            d = M.data
+            if d.size == 0:
+                self._vexc_rates[id(M)] = 0.0
+            else:
+                bad = (d < 0) | (d > 255) | (d != np.floor(d))
+                self._vexc_rates[id(M)] = float(np.count_nonzero(bad)) / d.size
+        return self._vexc_rates[id(M)]
+
+    def _gap_exc_rate(self, M):
+        """Fraction of within-row column gaps > 255 — cached per matrix."""
+        if not hasattr(self, "_gexc_rates"):
+            self._gexc_rates = {}
+        if id(M) not in self._gexc_rates:
+            canonicalize_csr(M)
+            ind = M.indices
+            if ind.size < 2:
+                self._gexc_rates[id(M)] = 0.0
+            else:
+                d = ind[1:].astype(np.int64) - ind[:-1]
+                is_start = np.zeros(ind.size - 1, bool)
+                bnd = M.indptr[1:-1] - 1  # gap positions that cross rows
+                is_start[bnd[(bnd >= 0) & (bnd < ind.size - 1)]] = True
+                self._gexc_rates[id(M)] = float(
+                    np.count_nonzero((d > 255) & ~is_start)) / ind.size
+        return self._gexc_rates[id(M)]
 
     def _flat_bucket(self, M, idx):
         """Padded slot count for a part of ``len(idx)`` rows — DETERMINISTIC
@@ -250,8 +311,43 @@ class StreamingData:
             )
         return self._int_vals[id(M)]
 
+    def _exc_bucket(self, M, L, kind):
+        """Deterministic exception-bucket size for a part with ``L`` flat
+        slots — a function of the part SIZE and the matrix's exception
+        rate (cached), laddered x1.25 on overflow and remembered per
+        (matrix, L) so repeated same-size parts reuse one compiled
+        scatter."""
+        if not hasattr(self, "_exc_buckets"):
+            self._exc_buckets = {}
+        key = (id(M), L, kind)
+        if key not in self._exc_buckets:
+            rate = (self._gap_exc_rate(M) if kind == "g"
+                    else self._val_exc_rate(M))
+            self._exc_buckets[key] = int(
+                2.0 * L * rate + 8.0 * np.sqrt(L * rate)) + 64
+        return self._exc_buckets[key]
+
     def _component(self, M, idx, K, is_input):
         mode = self._mode_x if is_input else self._mode_t
+        if mode == "flat8":
+            from ..ops.densify import Flat8Overflow, flat8_payload_from_csr
+
+            L = self._flat_bucket(M, idx)
+            while True:
+                Lg = self._exc_bucket(M, L, "g")
+                Lv = self._exc_bucket(M, L, "v")
+                try:
+                    payload = flat8_payload_from_csr(M, idx, L, Lg, Lv)
+                    break
+                except Flat8Overflow as e:
+                    # ladder the overflowing bucket(s) and remember
+                    if e.need_g > Lg:
+                        self._exc_buckets[(id(M), L, "g")] = int(
+                            max(Lg, e.need_g) * 1.25) + 64
+                    if e.need_v > Lv:
+                        self._exc_buckets[(id(M), L, "v")] = int(
+                            max(Lv, e.need_v) * 1.25) + 64
+            return Flat8Chunk(*payload, len(idx), M.shape[1])
         if mode == "flat":
             from ..ops.densify import flat_payload_from_csr
 
@@ -287,6 +383,12 @@ class StreamingData:
                 x.col.shape == t.col.shape and x.col.dtype == t.col.dtype
             ):
                 t.counts, t.col = x.counts, x.col
+            elif isinstance(x, Flat8Chunk) and isinstance(t, Flat8Chunk) and (
+                x.gaps.shape == t.gaps.shape
+                and x.gpos.shape == t.gpos.shape
+            ):
+                t.counts, t.firstcol, t.gaps = x.counts, x.firstcol, x.gaps
+                t.gpos, t.gval = x.gpos, x.gval
             elif isinstance(x, SparseChunk) and isinstance(t, SparseChunk) and (
                 x.idx.shape == t.idx.shape
             ):

@@ -185,6 +185,147 @@ def flat_payload_from_csr(X, rows, L, int_vals=False):
     return counts, c, v
 
 
+def _flat8_scatter_impl(counts, firstcol, gaps, vals, gpos, gval, vpos, vval,
+                        n_rows, n_cols):
+    """Decode the FLAT8 payload and scatter it dense.
+
+    Wire format (flat8_payload_from_csr): ~2 bytes per NONZERO —
+      counts   (B+1,) int32  per-row nnz + one padding entry
+      firstcol (B,)  int16   absolute column of each row's first nonzero
+      gaps     (L,)  uint8   within-row column deltas (0 at row starts)
+      vals     (L,)  uint8   values (0 where an exception carries the value)
+      gpos/gval (Lg,) int32  positions/true values of gaps >= 256
+      vpos/vval (Lv,) int32/f32  positions/true values of vals outside
+                               uint8 (incl. non-integers) — LOSSLESS
+    Exception streams are padded with pos == L (out of range -> dropped).
+    Columns are rebuilt ON DEVICE with one cumsum over the flat gap stream
+    minus each row's base prefix; row ids from counts as in the flat
+    format.  Hints deliberately not passed (platform bug, _scatter_impl).
+    """
+    L = gaps.shape[0]
+    counts = counts.astype(jnp.int32)
+    row_ids = jnp.repeat(
+        jnp.arange(n_rows + 1, dtype=jnp.int32), counts, total_repeat_length=L
+    )
+    g = gaps.astype(jnp.int32)
+    g = g.at[gpos].set(gval.astype(jnp.int32), mode="drop")
+    P = jnp.cumsum(g)
+    P_excl = P - g
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:-1])]
+    )  # (B+1,) flat start of each row (last = padding region)
+    base = jnp.repeat(
+        P_excl[jnp.minimum(starts, L - 1)], counts, total_repeat_length=L
+    )
+    fc = jnp.concatenate(
+        [firstcol.astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+    )  # padding row's firstcol
+    cols = jnp.repeat(fc, counts, total_repeat_length=L) + (P - base)
+    v = vals.astype(jnp.float32)
+    v = v.at[vpos].set(vval.astype(jnp.float32), mode="drop")
+    return jnp.zeros((n_rows, n_cols), jnp.float32).at[row_ids, cols].add(
+        v, mode="drop"
+    )
+
+
+_flat8_scatter = jax.jit(_flat8_scatter_impl,
+                         static_argnames=("n_rows", "n_cols"))
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_cols"))
+def _flat8_scatter_scale(counts, firstcol, gaps, vals, gpos, gval, vpos, vval,
+                         mean, std, n_rows, n_cols):
+    return (_flat8_scatter_impl(counts, firstcol, gaps, vals, gpos, gval,
+                                vpos, vval, n_rows, n_cols) - mean) / std
+
+
+def device_densify_flat8(c, scale_mean=None, scale_std=None):
+    """Densify a Flat8Chunk (data/loader.py) on-device; optional fused
+    z-scale epilogue like device_densify_flat."""
+    args = (jnp.asarray(c.counts, jnp.int32), jnp.asarray(c.firstcol),
+            jnp.asarray(c.gaps), jnp.asarray(c.vals),
+            jnp.asarray(c.gpos, jnp.int32), jnp.asarray(c.gval, jnp.int32),
+            jnp.asarray(c.vpos, jnp.int32), jnp.asarray(c.vval, jnp.float32))
+    if scale_mean is not None:
+        return _flat8_scatter_scale(
+            *args, jnp.asarray(scale_mean, jnp.float32),
+            jnp.asarray(scale_std, jnp.float32), int(c.n_rows), int(c.n_cols)
+        )
+    return _flat8_scatter(*args, int(c.n_rows), int(c.n_cols))
+
+
+class Flat8Overflow(ValueError):
+    """An exception stream outgrew its bucket; carries the needed sizes so
+    the loader can ladder up deterministically and retry."""
+
+    def __init__(self, need_g, need_v):
+        super().__init__(f"flat8 exception overflow g={need_g} v={need_v}")
+        self.need_g, self.need_v = need_g, need_v
+
+
+def flat8_payload_from_csr(X, rows, L, Lg, Lv):
+    """Build the FLAT8 payload for CSR ``rows`` (see _flat8_scatter_impl).
+
+    ``L`` is the flat slot bucket (flat_slots_for); ``Lg``/``Lv`` are the
+    gap/value exception buckets.  Raises Flat8Overflow when an exception
+    stream does not fit (the loader ladders the bucket and retries) and
+    ValueError when the slots overflow.  Lossless for ARBITRARY f32
+    values — anything outside uint8 (incl. non-integers) rides the
+    exception stream — though the encoding only wins when most values are
+    small integers (raw counts)."""
+    from .. import native
+
+    from ..data.loader import canonicalize_csr
+
+    canonicalize_csr(X)
+    rows = np.asarray(rows, np.int64)
+    _, c, v, total = native.csr_to_flat(
+        X.indptr, X.indices, X.data, rows, int(L), len(rows)
+    )
+    if total > L:
+        raise ValueError(f"flat payload overflow: nnz {total} > L {L}")
+    lens = np.diff(X.indptr)[rows].astype(np.int64)
+    B = len(rows)
+    counts = np.empty(B + 1, np.int32)
+    counts[:-1] = lens
+    counts[-1] = L - total
+
+    starts = np.zeros(B, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    cc = c[:total].astype(np.int64)
+    d = np.zeros(total, np.int64)
+    if total > 1:
+        d[1:] = cc[1:] - cc[:-1]
+    nz = lens > 0
+    d[starts[nz]] = 0  # row starts carry the gap placeholder
+
+    gexc = np.nonzero(d > 255)[0]
+    vv = v[:total]
+    vmask = (vv < 0) | (vv > 255) | (vv != np.floor(vv))
+    vexc = np.nonzero(vmask)[0]
+    if len(gexc) > Lg or len(vexc) > Lv:
+        raise Flat8Overflow(len(gexc), len(vexc))
+
+    gaps = np.zeros(L, np.uint8)
+    gaps[:total] = np.where(d > 255, 0, d).astype(np.uint8)
+    gpos = np.full(Lg, L, np.int32)
+    gpos[: len(gexc)] = gexc
+    gval = np.zeros(Lg, np.int32)
+    gval[: len(gexc)] = d[gexc]
+
+    vals = np.zeros(L, np.uint8)
+    vals[:total] = np.where(vmask, 0, vv).astype(np.uint8)
+    vpos = np.full(Lv, L, np.int32)
+    vpos[: len(vexc)] = vexc
+    vval = np.zeros(Lv, np.float32)
+    vval[: len(vexc)] = vv[vexc]
+
+    fc_dtype = np.int16 if X.shape[1] < np.iinfo(np.int16).max else np.int32
+    firstcol = np.zeros(B, fc_dtype)
+    firstcol[nz] = cc[starts[nz]].astype(fc_dtype)
+    return counts, firstcol, gaps, vals, gpos, gval, vpos, vval
+
+
 def make_sharded_densifier(n_cols, out_sharding, with_scale):
     """Compile a payload scatter whose dense OUTPUT is pinned to a mesh
     sharding (rows over 'data') — the streaming-trainer mesh path

@@ -913,7 +913,7 @@ def _train_streaming(
     checkpoint_every/resume crash recovery — since the 1M-cell runs this
     path exists for are exactly the ones that need them."""
     from ..config import use_device_densify
-    from ..data.loader import FlatChunk, SparseChunk, StreamingData
+    from ..data.loader import Flat8Chunk, FlatChunk, SparseChunk, StreamingData
 
     X = adata.X
     sf = _size_factors(adata)
@@ -1128,12 +1128,19 @@ def _train_streaming(
         from ..ops.densify import (
             device_densify as _dev_densify,
             device_densify_flat as _dev_densify_flat,
+            device_densify_flat8 as _dev_densify_flat8,
         )
 
         def _to_device(c, scaled):
             if isinstance(c, SparseChunk):
                 return _dev_densify(
                     c.idx, c.dat, c.n_cols,
+                    scale_mean if scaled else None,
+                    scale_std if scaled else None,
+                )
+            if isinstance(c, Flat8Chunk):
+                return _dev_densify_flat8(
+                    c,
                     scale_mean if scaled else None,
                     scale_std if scaled else None,
                 )

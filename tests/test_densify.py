@@ -196,11 +196,16 @@ def test_loader_picks_flat_for_heavy_tail():
 
     sd_w = StreamingData(whale, whale, sf, 30, device_densify=True)
     xw, tw, _ = sd_w.materialize(np.arange(30))
-    assert isinstance(xw, FlatChunk)
-    assert isinstance(tw, FlatChunk)
-    from dca_tpu.ops.densify import device_densify_flat
+    # integral count values upgrade flat -> flat8 in auto mode (round 4)
+    from dca_tpu.data.loader import Flat8Chunk as _F8
+    from dca_tpu.ops.densify import device_densify_flat, device_densify_flat8
 
-    out = np.asarray(device_densify_flat(xw.counts, xw.col, xw.val, 30, 80))
+    assert isinstance(xw, (FlatChunk, _F8))
+    assert type(tw) is type(xw)
+    if isinstance(xw, _F8):
+        out = np.asarray(device_densify_flat8(xw))
+    else:
+        out = np.asarray(device_densify_flat(xw.counts, xw.col, xw.val, 30, 80))
     np.testing.assert_allclose(out, whale[:30].toarray(), rtol=1e-6)
 
 
@@ -422,3 +427,145 @@ def test_padded_payload_int16_and_uint16_wire(monkeypatch):
     assert t.dat.dtype == np.uint16
     out = np.asarray(device_densify(t.idx, t.dat, 40))
     np.testing.assert_array_equal(out, raw[:15].toarray())
+
+
+# ---------------------------------------------------------------------------
+# FLAT8 payload (round 4): uint8 gap/value streams + exception side-streams
+# ---------------------------------------------------------------------------
+
+
+def _flat8_roundtrip(m, rows=None, scale=None):
+    from dca_tpu.data.loader import Flat8Chunk
+    from dca_tpu.ops.densify import (
+        device_densify_flat8, flat8_payload_from_csr, flat_slots_for,
+    )
+
+    rows = np.arange(m.shape[0]) if rows is None else rows
+    L = flat_slots_for(m, rows)
+    payload = flat8_payload_from_csr(m, rows, L, 1024, 1024)
+    c = Flat8Chunk(*payload, len(rows), m.shape[1])
+    if scale is not None:
+        return np.asarray(device_densify_flat8(c, *scale)), c
+    return np.asarray(device_densify_flat8(c)), c
+
+
+@pytest.mark.parametrize("shape,density", [((32, 300), 0.1), ((13, 513), 0.05),
+                                           ((40, 4000), 0.01)])
+def test_flat8_densify_matches_scipy(shape, density):
+    m = _random_csr(*shape, density)
+    got, _ = _flat8_roundtrip(m)
+    np.testing.assert_allclose(got, m.toarray(), rtol=0, atol=0)
+
+
+def test_flat8_gap_and_value_exceptions_lossless():
+    """Gaps > 255 (very wide sparse panel) and values outside uint8
+    (large counts, non-integers, negatives) must ride the exception
+    streams bit-exactly."""
+    rs = np.random.RandomState(3)
+    G = 200_000  # gaps far beyond 255
+    rows = []
+    for r in range(8):
+        cols = np.sort(rs.choice(G, 50, replace=False))
+        rows.append(cols)
+    indptr = np.concatenate([[0], np.cumsum([len(c) for c in rows])])
+    indices = np.concatenate(rows)
+    data = rs.uniform(-5, 5000, size=indices.size).astype(np.float32)
+    data[::3] = np.round(np.abs(data[::3]) % 200)  # mix of uint8-friendly
+    m = sp.csr_matrix((data, indices, indptr), shape=(8, G))
+    got, c = _flat8_roundtrip(m)
+    np.testing.assert_array_equal(got, m.toarray())
+    assert (np.asarray(c.gpos) < c.gaps.shape[0]).any()  # real gap excs
+    assert (np.asarray(c.vpos) < c.gaps.shape[0]).any()  # real val excs
+
+
+def test_flat8_empty_rows_and_fused_scale():
+    m = _random_csr(24, 150, 0.08, seed=5)
+    # force some empty rows
+    lil = m.tolil()
+    lil[3] = 0
+    lil[17] = 0
+    m = lil.tocsr()
+    mean = np.random.RandomState(0).normal(size=150).astype(np.float32)
+    std = np.random.RandomState(1).uniform(0.5, 2, 150).astype(np.float32)
+    got, _ = _flat8_roundtrip(m, scale=(mean, std))
+    np.testing.assert_allclose(got, (m.toarray() - mean) / std,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flat8_overflow_ladders():
+    from dca_tpu.ops.densify import Flat8Overflow, flat8_payload_from_csr
+
+    rs = np.random.RandomState(0)
+    cols = np.sort(rs.choice(100_000, 64, replace=False))
+    m = sp.csr_matrix(
+        (np.full(64, 300.5, np.float32), cols, [0, 64]), shape=(1, 100_000))
+    with pytest.raises(Flat8Overflow):
+        flat8_payload_from_csr(m, [0], 128, 2, 2)  # tiny exception buckets
+
+
+def test_loader_auto_upgrades_to_flat8_for_counts():
+    """Integer count matrices with a heavy row tail pick flat8 in auto
+    mode; float-valued matrices stay on flat."""
+    from dca_tpu.data.loader import Flat8Chunk, FlatChunk, StreamingData
+
+    B, G = 48, 400
+    rs = np.random.RandomState(2)
+    m = _random_csr(B, G, 0.05, seed=2)
+    # heavy tail so auto prefers a flat family over padded
+    extra = sp.csr_matrix(
+        (np.ones(G // 2, np.float32), np.arange(G // 2), [0, G // 2]),
+        shape=(1, G))
+    m = sp.vstack([m[:-1], extra]).tocsr()
+    sf = np.ones(B, np.float32)
+    sd = StreamingData(m, m, sf, 16, device_densify=True)
+    assert sd._mode_t == "flat8", sd._mode_t
+    x, t, _ = sd.materialize(np.arange(10))
+    assert isinstance(t, Flat8Chunk)
+
+    mf = m.copy()
+    mf.data = mf.data + 0.5  # non-integers -> exception rate 100%
+    sd2 = StreamingData(mf, mf, sf, 16, device_densify=True)
+    assert sd2._mode_t == "flat", sd2._mode_t
+
+
+def test_streaming_flat8_trainer_matches_host(monkeypatch):
+    """End-to-end streaming fit through the flat8 payload path must match
+    the dense host-staging trajectory."""
+    import pandas as pd
+
+    from dca_tpu.data import normalize, read_dataset
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.models import AE_types
+    from dca_tpu.train.loop import train
+
+    B, G = 72, 60
+    rs = np.random.RandomState(9)
+    counts = rs.poisson(1.2, size=(B, G)).astype(np.float32)
+    counts[counts < 1] = 0
+    counts[:, 0] += 1
+    counts[0, :] += 1
+
+    def fit(X, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        ad = AnnData(
+            X,
+            pd.DataFrame(index=pd.Index([f"c{i}" for i in range(B)])),
+            pd.DataFrame(index=pd.Index([f"g{i}" for i in range(G)])),
+        )
+        ad = normalize(read_dataset(ad, check_counts=False), lazy_scale=True)
+        net = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8),
+                                      seed=3)
+        net.build()
+        h = train(ad, net, epochs=2, batch_size=16, validation_split=0.25,
+                  verbose=False, seed=0, compiled=False, reduce_lr=0,
+                  early_stop=0, max_device_cells=32)
+        for k in env:
+            monkeypatch.delenv(k)
+        return h.history["loss"], h.history["val_loss"]
+
+    ref = fit(counts.copy(), {"DCA_TPU_DEVICE_DENSIFY": "0"})
+    got = fit(sp.csr_matrix(counts), {"DCA_TPU_DEVICE_DENSIFY": "1",
+                                      "DCA_TPU_PAYLOAD": "flat8"})
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-4)
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-4)
