@@ -84,9 +84,11 @@ class Flat8Chunk:
     deltas + uint8 values with int32/f32 exception side-streams — ~2 bytes
     per nonzero, half the flat format's wire bytes, LOSSLESS for arbitrary
     values (non-uint8 values ride the exception stream).  Columns and row
-    ids are rebuilt on device (ops.densify.device_densify_flat8).  The
-    winning encoding for raw-count matrices, where the 1.3M-cell epoch is
-    link-bandwidth-bound (docs/benchmarks.md round-4 breakdown)."""
+    ids are rebuilt on device (ops.densify.device_densify_flat8).
+    OPT-IN via DCA_TPU_PAYLOAD=flat8: the on-chip A/B measured no ship-time
+    win on this platform (the delta decode eats the transfer saving and
+    the numpy encode is 8x flat's host cost — see _pick_mode and
+    docs/benchmarks.md); kept for links far slower than ~50 MB/s."""
 
     __slots__ = ("counts", "firstcol", "gaps", "vals", "gpos", "gval",
                  "vpos", "vval", "n_rows", "n_cols")
@@ -237,13 +239,14 @@ class StreamingData:
             return mode
         mean_nnz = max(M.nnz / max(M.shape[0], 1), 1.0)
         # bytes/row: padded 8*K vs flat 12*mean*1.15 (bucket margin)
-        picked = "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
-        if picked == "flat" and self._val_exc_rate(M) < 0.2:
-            # flat8 halves the flat wire bytes (~2 B/nnz vs ~4) as long as
-            # most values fit uint8 integers; each exception costs 8 extra
-            # bytes, so the break-even sits at a ~25% exception rate
-            picked = "flat8"
-        return picked
+        # flat8 (half the wire bytes) stays OPT-IN (DCA_TPU_PAYLOAD=flat8):
+        # the round-4 on-chip A/B measured ship(flat8, 101 MB) ==
+        # ship(flat, 202 MB) — the saved transfer is eaten by the on-device
+        # delta decode — while the numpy gap/exception encode costs 7.6 s
+        # vs flat's 0.9 s per 131k-row part (docs/benchmarks.md).  It may
+        # pay on links far slower than the ~50-70 MB/s tunnel once the
+        # encoder moves to the C++ tier.
+        return "flat" if 8.0 * K > 12.0 * mean_nnz * 1.15 else "padded"
 
     def _val_exc_rate(self, M):
         """Fraction of values a flat8 payload must carry as exceptions

@@ -1368,8 +1368,12 @@ def _train_streaming(
             for idx_chunk in va.index_chunks(np.arange(va.n)):
                 tasks.append(("val", va, idx_chunk, 0))
 
-        total = 0.0
-        vtot, vn = 0.0, 0
+        # per-part losses stay ON DEVICE and are fetched in ONE bulk sync at
+        # epoch end: a float(s) after every part costs a host round trip
+        # (tunnel latency drifts 40-400 ms per call) and stalls the
+        # dispatch pipeline the prefetcher exists to keep full
+        part_losses, val_losses = [], []
+        vn = 0
         grad_src = last_train = None
         for (kind, _, idx, ci_k), staged in zip(tasks, _staged(tasks)):
             xcs, tcs, sfcs, wcs = staged
@@ -1378,7 +1382,7 @@ def _train_streaming(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
                     jax.random.fold_in(epoch_rng, ci_k),
                 )
-                total += float(s)
+                part_losses.append(s)
                 last_train = (xcs, sfcs, tcs, None)
             elif kind == "rem":
                 params, state, opt_state, s = rem_fn(
@@ -1389,18 +1393,22 @@ def _train_streaming(
                         jax.random.fold_in(epoch_rng, ci_k), 2**31 - 1
                     ),
                 )
-                total += float(s)
+                part_losses.append(s)
                 last_train = (xcs, sfcs, tcs, None)
             else:
                 if grad_src is None:
                     grad_src = (xcs, sfcs, tcs, wcs)
                 if wcs is None:
-                    vtot += float(eval_chunk(params, state, xcs, sfcs, tcs))
+                    val_losses.append(
+                        eval_chunk(params, state, xcs, sfcs, tcs))
                 else:
-                    vtot += float(
-                        eval_chunk_w(params, state, xcs, sfcs, tcs, wcs)
-                    )
+                    val_losses.append(
+                        eval_chunk_w(params, state, xcs, sfcs, tcs, wcs))
                 vn += len(idx)
+
+        fetched = np.asarray(jnp.stack(part_losses + val_losses))
+        total = float(fetched[: len(part_losses)].sum())
+        vtot = float(fetched[len(part_losses):].sum())
 
         train_loss = total / max(n_train, 1)
         hist.append("loss", train_loss)

@@ -71,9 +71,13 @@ def main():
     m = _derivable_row_scale(Xc, T)
     log(f"derive-input mode: {'ON' if m is not None else 'off'}")
     chunk = 131072 // 32 * 32
-    sd = StreamingData(Xc, T, sf, chunk, sm, ss, device_densify=True,
-                       payload_mode="auto", derive_input=m is not None)
-    sd.derive_m = m
+    sds = {}
+    for pm in ("flat", "flat8"):
+        sd = StreamingData(Xc, T, sf, chunk, sm, ss, device_densify=True,
+                           payload_mode=pm, derive_input=m is not None)
+        sd.derive_m = m
+        sds[pm] = sd
+    sd = sds["flat"]
 
     net = AE_types["nb-conddisp"](input_size=ad.n_vars, seed=0)
     net.build()
@@ -108,44 +112,59 @@ def main():
     rng = jax.random.PRNGKey(0)
     perm = np.random.RandomState(0).permutation(n_cells)
 
-    rows = []
-    parts = list(sd.index_chunks(perm))[:4]
+    from dca_tpu.ops.densify import device_densify_flat8
+
+    def payload_bytes(tc):
+        arrs = ([tc.counts, tc.col, tc.val] if hasattr(tc, "col") else
+                [tc.counts, tc.firstcol, tc.gaps, tc.vals, tc.gpos, tc.gval,
+                 tc.vpos, tc.vval])
+        return sum(a.nbytes for a in arrs)
+
+    rows = {"flat": [], "flat8": []}
+    parts = list(sd.index_chunks(perm))[:5]
     for k, idx in enumerate(parts):
         idx = idx[: len(idx) // bs * bs]
-        t0 = time.perf_counter()
-        tc, _, sfc = sd.materialize(idx)
-        t_host = time.perf_counter() - t0
+        # interleave the two encodings on every part: the tunnel drifts by
+        # the minute, back-to-back ships are the only fair comparison
+        for pm in ("flat", "flat8"):
+            t0 = time.perf_counter()
+            tc, _, sfc = sds[pm].materialize(idx)
+            t_host = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        td = device_densify_flat(tc.counts, tc.col, tc.val, tc.n_rows,
-                                 tc.n_cols)
-        xd = _derive(td, jnp.asarray(m[idx], jnp.float32), jnp.asarray(sm),
-                     jnp.asarray(ss))
-        sfd = jnp.asarray(sfc)
-        np.asarray(jnp.sum(xd))  # force transfer + scatter to finish (sync)
-        t_ship = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if pm == "flat":
+                td = device_densify_flat(tc.counts, tc.col, tc.val,
+                                         tc.n_rows, tc.n_cols)
+            else:
+                td = device_densify_flat8(tc)
+            xd = _derive(td, jnp.asarray(m[idx], jnp.float32),
+                         jnp.asarray(sm), jnp.asarray(ss))
+            sfd = jnp.asarray(sfc)
+            np.asarray(jnp.sum(xd))  # force transfer + scatter (sync)
+            t_ship = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        params, state, opt_state, s = chunk_j(params, state, opt_state, xd,
-                                              td, sfd, jnp.float32(1e-3), rng)
-        float(s)
-        t_train = time.perf_counter() - t0
-        row = dict(part=k, rows=len(idx), host_s=round(t_host, 2),
-                   ship_s=round(t_ship, 2), train_s=round(t_train, 2))
-        rows.append(row)
-        log(json.dumps(row))
+            t0 = time.perf_counter()
+            params, state, opt_state, s = chunk_j(
+                params, state, opt_state, xd, td, sfd, jnp.float32(1e-3), rng)
+            float(s)
+            t_train = time.perf_counter() - t0
+            row = dict(part=k, fmt=pm, rows=len(idx),
+                       mb=round(payload_bytes(tc) / 1e6, 1),
+                       host_s=round(t_host, 2), ship_s=round(t_ship, 2),
+                       train_s=round(t_train, 2))
+            rows[pm].append(row)
+            log(json.dumps(row))
 
-    steady = rows[1:]  # part 0 carries the remote compiles
-    tot = {k: round(float(np.median([r[k] for r in steady])), 2)
-           for k in ("host_s", "ship_s", "train_s")}
     n_parts = int(np.ceil(n_cells / chunk))
-    print(json.dumps(dict(name="stream_breakdown_131072rows", **tot,
-                          est_epoch_serial_s=round(
-                              sum(tot.values()) * n_parts, 1),
-                          est_epoch_overlapped_s=round(
-                              max(tot["host_s"] + tot["ship_s"],
-                                  tot["train_s"]) * n_parts, 1),
-                          n_parts=n_parts)), flush=True)
+    for pm in ("flat", "flat8"):
+        steady = rows[pm][1:]  # part 0 carries the remote compiles
+        tot = {k: round(float(np.median([r[k] for r in steady])), 2)
+               for k in ("host_s", "ship_s", "train_s")}
+        print(json.dumps(dict(name=f"stream_breakdown_131072rows_{pm}",
+                              mb=steady[-1]["mb"], **tot,
+                              est_epoch_serial_s=round(
+                                  sum(tot.values()) * n_parts, 1),
+                              n_parts=n_parts)), flush=True)
 
 
 if __name__ == "__main__":

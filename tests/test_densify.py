@@ -503,29 +503,29 @@ def test_flat8_overflow_ladders():
         flat8_payload_from_csr(m, [0], 128, 2, 2)  # tiny exception buckets
 
 
-def test_loader_auto_upgrades_to_flat8_for_counts():
-    """Integer count matrices with a heavy row tail pick flat8 in auto
-    mode; float-valued matrices stay on flat."""
+def test_loader_flat8_is_opt_in():
+    """flat8 stays OPT-IN (no on-chip ship win measured, encoder 8x flat's
+    host cost — loader._pick_mode): auto picks flat, DCA_TPU_PAYLOAD=flat8
+    forces the new format."""
     from dca_tpu.data.loader import Flat8Chunk, FlatChunk, StreamingData
 
     B, G = 48, 400
     rs = np.random.RandomState(2)
     m = _random_csr(B, G, 0.05, seed=2)
-    # heavy tail so auto prefers a flat family over padded
+    # heavy tail so auto prefers the flat family over padded
     extra = sp.csr_matrix(
         (np.ones(G // 2, np.float32), np.arange(G // 2), [0, G // 2]),
         shape=(1, G))
     m = sp.vstack([m[:-1], extra]).tocsr()
     sf = np.ones(B, np.float32)
     sd = StreamingData(m, m, sf, 16, device_densify=True)
-    assert sd._mode_t == "flat8", sd._mode_t
-    x, t, _ = sd.materialize(np.arange(10))
-    assert isinstance(t, Flat8Chunk)
+    assert sd._mode_t == "flat", sd._mode_t
 
-    mf = m.copy()
-    mf.data = mf.data + 0.5  # non-integers -> exception rate 100%
-    sd2 = StreamingData(mf, mf, sf, 16, device_densify=True)
-    assert sd2._mode_t == "flat", sd2._mode_t
+    sd8 = StreamingData(m, m, sf, 16, device_densify=True,
+                        payload_mode="flat8")
+    assert sd8._mode_t == "flat8"
+    x, t, _ = sd8.materialize(np.arange(10))
+    assert isinstance(t, Flat8Chunk)
 
 
 def test_streaming_flat8_trainer_matches_host(monkeypatch):
