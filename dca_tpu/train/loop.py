@@ -1132,9 +1132,13 @@ def _train_streaming(
         )
 
         def _to_device(c, scaled):
+            # payload streams go up in ONE device_put: each separate
+            # asarray is a dispatch round trip and the tunnel's per-call
+            # latency drifts 40-400 ms (scripts/scatter_probe.py era note)
             if isinstance(c, SparseChunk):
+                idx, dat = jax.device_put((c.idx, c.dat))
                 return _dev_densify(
-                    c.idx, c.dat, c.n_cols,
+                    idx, dat, c.n_cols,
                     scale_mean if scaled else None,
                     scale_std if scaled else None,
                 )
@@ -1145,8 +1149,9 @@ def _train_streaming(
                     scale_std if scaled else None,
                 )
             if isinstance(c, FlatChunk):
+                cnt, col, val = jax.device_put((c.counts, c.col, c.val))
                 return _dev_densify_flat(
-                    c.counts, c.col, c.val, c.n_rows, c.n_cols,
+                    cnt, col, val, c.n_rows, c.n_cols,
                     scale_mean if scaled else None,
                     scale_std if scaled else None,
                 )
