@@ -43,6 +43,11 @@ exception side-streams, ~2 B/nonzero, lossless) when most values are
 small integers — raw-count matrices, which is what the link-bandwidth-
 bound corpus epochs ship (data/loader.py, docs/benchmarks.md round 4).
 
+DCA_TPU_FETCH_DTYPE: 'bf16'/'f16' downcast forward/predict outputs ON
+DEVICE before they cross the link, cast back to f32 on the host —
+halves the output fetch that dominates wide-panel predicts on slow links
+(models/network.py _fetch_dtype).  Default 'f32' (exact); LOSSY opt-in.
+
 DCA_TPU_DERIVE_INPUT: '0' disables ship-one-payload mode (train/loop.py):
 by default, when the normalized streaming input is an elementwise per-row
 function of the raw target (the standard normalize pipeline), only the

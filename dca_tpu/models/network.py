@@ -39,17 +39,40 @@ def _densify(X):
     return np.asarray(X, dtype=np.float32)
 
 
+def _fetch_dtype():
+    """Opt-in lossy output-fetch precision (DCA_TPU_FETCH_DTYPE=bf16|f16):
+    forward outputs are downcast ON DEVICE before crossing the link and
+    cast back to f32 on the host — halves predict's dominant cost on slow
+    links (the 50k x 28k denoise fetched 5.7 GB at ~15 MB/s through the
+    tunnel, docs/benchmarks.md).  Default full f32: the TSV contract
+    prints 6 decimals and bf16 carries ~3 significant digits, so this is
+    strictly an opt-in for bandwidth-starved deployments."""
+    mode = os.environ.get("DCA_TPU_FETCH_DTYPE", "f32")
+    if mode in ("f32", "0", ""):
+        return None
+    if mode == "bf16":
+        return jnp.bfloat16
+    if mode == "f16":
+        return jnp.float16
+    raise ValueError(f"DCA_TPU_FETCH_DTYPE={mode!r}: expected f32/bf16/f16")
+
+
 def _gathered_numpy(v):
     """numpy copy of a forward output; multi-host shards are all-gathered
     over ICI first (parallel/multihost.gather_to_host) so every process sees
-    the full matrix for the TSV/obsm contract."""
+    the full matrix for the TSV/obsm contract.  With DCA_TPU_FETCH_DTYPE
+    set, float32 outputs downcast on device before the fetch."""
     if v is None:
         return None
+    dt = _fetch_dtype()
+    if (dt is not None and isinstance(v, jax.Array)
+            and v.dtype == jnp.float32):
+        v = jax.jit(lambda a: a.astype(dt))(v)
     if isinstance(v, jax.Array) and not v.is_fully_addressable:
         from ..parallel.multihost import gather_to_host
 
-        return gather_to_host(v)
-    return np.asarray(v)
+        v = gather_to_host(v)
+    return np.asarray(v, dtype=np.float32) if dt is not None else np.asarray(v)
 
 
 def _is_writer() -> bool:

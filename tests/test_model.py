@@ -261,3 +261,30 @@ def test_load_model_roundtrip(tmp_path):
                          np.random.RandomState(0).normal(size=(B, G)).astype(np.float32),
                          np.random.RandomState(1).uniform(0.5, 2.0, size=(B,)).astype(np.float32))
     np.testing.assert_allclose(np.asarray(out1["output"]), np.asarray(out2["output"]), rtol=1e-6)
+
+
+def test_fetch_dtype_opt_in(monkeypatch):
+    """DCA_TPU_FETCH_DTYPE=bf16 downcasts forward outputs on device before
+    the fetch and returns float32 numpy close to the full-precision path;
+    bogus values raise."""
+    import numpy as np
+
+    from dca_tpu.models import AE_types
+
+    net = AE_types["nb-conddisp"](input_size=20, hidden_size=(8, 4, 8), seed=0)
+    net.build()
+    rs = np.random.RandomState(0)
+    x = rs.normal(size=(12, 20)).astype(np.float32)
+
+    monkeypatch.delenv("DCA_TPU_FETCH_DTYPE", raising=False)
+    full = net.forward(x)["output"]
+    monkeypatch.setenv("DCA_TPU_FETCH_DTYPE", "bf16")
+    low = net.forward(x)["output"]
+    assert low.dtype == np.float32
+    np.testing.assert_allclose(low, full, rtol=2e-2, atol=1e-2)
+
+    monkeypatch.setenv("DCA_TPU_FETCH_DTYPE", "f64")
+    import pytest
+
+    with pytest.raises(ValueError, match="DCA_TPU_FETCH_DTYPE"):
+        net.forward(x)
