@@ -72,7 +72,12 @@ def _gathered_numpy(v):
         from ..parallel.multihost import gather_to_host
 
         v = gather_to_host(v)
-    return np.asarray(v, dtype=np.float32) if dt is not None else np.asarray(v)
+    if dt is not None:
+        # two-step on purpose: np.asarray(v, dtype=f32) may upcast BEFORE
+        # the transfer; fetching the native (ml_dtypes) buffer first keeps
+        # the half-width bytes on the wire, the host does the cast
+        return np.asarray(v).astype(np.float32)
+    return np.asarray(v)
 
 
 def _is_writer() -> bool:
