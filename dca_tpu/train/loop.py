@@ -923,10 +923,14 @@ def _train_streaming(
     else:
         target = adata.raw.X if use_raw_as_output else X
 
-    scale_mean = scale_std = None
+    scale_mean = scale_std = sm_dev = ss_dev = None
     if "dca_scale_mean" in adata.uns:  # lazy-scale mode (normalize(lazy=True))
         scale_mean = np.asarray(adata.uns["dca_scale_mean"], np.float32)
         scale_std = np.asarray(adata.uns["dca_scale_std"], np.float32)
+        # device-resident copies uploaded ONCE: a per-part jnp.asarray of
+        # the same vectors costs two link round trips per staged part
+        sm_dev = jnp.asarray(scale_mean)
+        ss_dev = jnp.asarray(scale_std)
 
     n = X.shape[0]
     split_at = int(n * (1.0 - validation_split))
@@ -1085,8 +1089,7 @@ def _train_streaming(
             )
             dat = _put_rows(np.ascontiguousarray(c.dat), even)
             if scaled:
-                return _densifiers[key](idx, dat, jnp.asarray(scale_mean),
-                                        jnp.asarray(scale_std)), idx
+                return _densifiers[key](idx, dat, sm_dev, ss_dev), idx
             return _densifiers[key](idx, dat), idx
 
         def _stage(xc, tc, sfc, global_rows):
@@ -1139,21 +1142,21 @@ def _train_streaming(
                 idx, dat = jax.device_put((c.idx, c.dat))
                 return _dev_densify(
                     idx, dat, c.n_cols,
-                    scale_mean if scaled else None,
-                    scale_std if scaled else None,
+                    sm_dev if scaled else None,
+                    ss_dev if scaled else None,
                 )
             if isinstance(c, Flat8Chunk):
                 return _dev_densify_flat8(
                     c,
-                    scale_mean if scaled else None,
-                    scale_std if scaled else None,
+                    sm_dev if scaled else None,
+                    ss_dev if scaled else None,
                 )
             if isinstance(c, FlatChunk):
                 cnt, col, val = jax.device_put((c.counts, c.col, c.val))
                 return _dev_densify_flat(
                     cnt, col, val, c.n_rows, c.n_cols,
-                    scale_mean if scaled else None,
-                    scale_std if scaled else None,
+                    sm_dev if scaled else None,
+                    ss_dev if scaled else None,
                 )
             return jnp.asarray(c)
 
@@ -1168,7 +1171,7 @@ def _train_streaming(
             if m_part is not None and xc is tc:
                 td = _to_device(tc, False)
                 xd = _derive_fn(td, jnp.asarray(m_part, jnp.float32),
-                                jnp.asarray(scale_mean), jnp.asarray(scale_std))
+                                sm_dev, ss_dev)
                 return xd, td, jnp.asarray(sfc)
             # input chunks get the z-scale epilogue fused into the on-device
             # scatter (the loader defers host scaling in payload mode).
