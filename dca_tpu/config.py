@@ -37,11 +37,13 @@ epochs at 10% density on v5e (docs/benchmarks.md); the win shrinks as the
 max nnz per row approaches the gene count.
 
 DCA_TPU_PAYLOAD: 'padded'/'flat'/'flat8' force the on-device-densify
-payload encoding; 'auto' (default) picks per matrix from its row-nnz tail,
-upgrading flat to FLAT8 (uint8 column-gap deltas + uint8 values with
-exception side-streams, ~2 B/nonzero, lossless) when most values are
-small integers — raw-count matrices, which is what the link-bandwidth-
-bound corpus epochs ship (data/loader.py, docs/benchmarks.md round 4).
+payload encoding; 'auto' (default) picks padded vs flat per matrix from
+its row-nnz tail (data/loader.py _pick_mode).  FLAT8 (uint8 column-gap
+deltas + uint8 values with exception side-streams, ~2 B/nonzero,
+lossless) is strictly OPT-IN via DCA_TPU_PAYLOAD=flat8: the round-4
+on-chip A/B measured the halved wire bytes as a wash — the device delta
+decode eats the transfer saving at this link's speed — so auto never
+picks it (docs/benchmarks.md round 4).
 
 DCA_TPU_FETCH_DTYPE: 'bf16'/'f16' downcast forward/predict outputs ON
 DEVICE before they cross the link, cast back to f32 on the host —

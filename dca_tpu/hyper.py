@@ -306,6 +306,10 @@ def hyper_search(
     """Run the TPE search; writes trials.pickle + best.json like the
     reference (hyper.py:103-108). Returns (best_config, best_loss, trials).
 
+    ``trials`` holds ``n_trials + 1`` observations: the uncaught pre-flight
+    evaluation (the reference's test_fn, run in ADDITION to its max_evals
+    budget) followed by ``n_trials`` exception-caught trials.
+
     ``n_parallel > 1`` evaluates trials in synchronous BATCHES of that size,
     one worker thread per device (``jax.default_device`` is thread-local):
     a batch of configs is suggested from the current TPE state, evaluated
@@ -352,20 +356,24 @@ def hyper_search(
         if loss < best_loss:
             best_cfg, best_loss = cfg, loss
         if verbose:
-            print(f"dca_tpu hyper: trial {i + 1}/{n_trials} loss={loss:.4f} "
+            label = "preflight" if i == 0 else f"trial {i}/{n_trials}"
+            print(f"dca_tpu hyper: {label} loss={loss:.4f} "
                   f"best={best_loss:.4f}")
 
-    # pre-flight (reference hyper.py:93 test_fn): the FIRST objective
-    # evaluation runs uncaught, so a broken space/objective aborts
-    # immediately with the real traceback instead of burning trials on
-    # swallowed exceptions; its result is kept as trial 0.
+    # pre-flight (reference hyper.py:93 test_fn): one objective evaluation
+    # runs uncaught, so a broken space/objective aborts immediately with the
+    # real traceback instead of burning trials on swallowed exceptions.  It
+    # runs OUTSIDE the --hypern budget — the reference runs test_fn in
+    # ADDITION to its max_evals fmin trials (ADVICE r4) — but its result is
+    # still observed (trials[0]), so the TPE gets the data point for free.
+    n_total = n_trials + 1
     cfg0 = tpe.suggest()
     _record(0, cfg0, float(objective(cfg0)))
 
     i = 1
-    while i < n_trials:
+    while i < n_total:
         batch = [tpe.suggest()
-                 for _ in range(min(max(n_parallel, 1), n_trials - i))]
+                 for _ in range(min(max(n_parallel, 1), n_total - i))]
         if run_on is not None and len(batch) > 1:
             futs = [pool.submit(run_on, s, cfg)
                     for s, cfg in enumerate(batch)]

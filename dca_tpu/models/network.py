@@ -19,6 +19,7 @@ emits the README/paper-era aliases ``mean_norm.tsv``, ``pi.tsv`` and
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 
@@ -57,17 +58,31 @@ def _fetch_dtype():
     raise ValueError(f"DCA_TPU_FETCH_DTYPE={mode!r}: expected f32/bf16/f16")
 
 
-def _gathered_numpy(v):
+@functools.lru_cache(maxsize=None)
+def _cast_jit(dt):
+    """One cached jitted cast per dtype — a fresh ``jax.jit(lambda ...)``
+    per call would retrace every fetch (and on remote-compile platforms
+    trigger a compile round trip), eroding the slow-link win the downcast
+    exists for (ADVICE r4)."""
+    return jax.jit(lambda a: a.astype(dt))
+
+
+def _gathered_numpy(v, allow_downcast=False):
     """numpy copy of a forward output; multi-host shards are all-gathered
     over ICI first (parallel/multihost.gather_to_host) so every process sees
-    the full matrix for the TSV/obsm contract.  With DCA_TPU_FETCH_DTYPE
-    set, float32 outputs downcast on device before the fetch."""
+    the full matrix for the TSV/obsm contract.
+
+    ``allow_downcast=True`` (predict-output fetches ONLY) honors
+    DCA_TPU_FETCH_DTYPE and downcasts float32 outputs on device before the
+    fetch.  Persistence paths (save/save_weights) keep the default False so
+    saved parameters stay exact — bf16 keeps ~3 significant digits and the
+    params are tiny anyway (ADVICE r4)."""
     if v is None:
         return None
-    dt = _fetch_dtype()
+    dt = _fetch_dtype() if allow_downcast else None
     if (dt is not None and isinstance(v, jax.Array)
             and v.dtype == jnp.float32):
-        v = jax.jit(lambda a: a.astype(dt))(v)
+        v = _cast_jit(dt)(v)
     if isinstance(v, jax.Array) and not v.is_fully_addressable:
         from ..parallel.multihost import gather_to_host
 
@@ -319,7 +334,8 @@ class Autoencoder:
                                     size_factors[lo:hi])
             if keys is not None:
                 out = {k: out[k] for k in keys}
-            return {k: _gathered_numpy(v) for k, v in out.items()}
+            return {k: _gathered_numpy(v, allow_downcast=True)
+                    for k, v in out.items()}
 
         if n <= chunk_rows:
             return block(0, n)

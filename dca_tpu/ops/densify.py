@@ -247,11 +247,17 @@ def _flat8_scatter_scale(counts, firstcol, gaps, vals, gpos, gval, vpos, vval,
 
 def device_densify_flat8(c, scale_mean=None, scale_std=None):
     """Densify a Flat8Chunk (data/loader.py) on-device; optional fused
-    z-scale epilogue like device_densify_flat."""
-    args = (jnp.asarray(c.counts, jnp.int32), jnp.asarray(c.firstcol),
-            jnp.asarray(c.gaps), jnp.asarray(c.vals),
-            jnp.asarray(c.gpos, jnp.int32), jnp.asarray(c.gval, jnp.int32),
-            jnp.asarray(c.vpos, jnp.int32), jnp.asarray(c.vval, jnp.float32))
+    z-scale epilogue like device_densify_flat.
+
+    The eight payload arrays go up in ONE ``jax.device_put`` — separate
+    per-array uploads cost up to eight tunnel round trips at the measured
+    40-400 ms per-call latency (ADVICE r4; same batching as the
+    SparseChunk/FlatChunk staging in train/loop.py)."""
+    args = jax.device_put((
+        np.asarray(c.counts, np.int32), np.asarray(c.firstcol),
+        np.asarray(c.gaps), np.asarray(c.vals),
+        np.asarray(c.gpos, np.int32), np.asarray(c.gval, np.int32),
+        np.asarray(c.vpos, np.int32), np.asarray(c.vval, np.float32)))
     if scale_mean is not None:
         return _flat8_scatter_scale(
             *args, jnp.asarray(scale_mean, jnp.float32),

@@ -110,7 +110,7 @@ def test_hyper_search_end_to_end(tmp_path):
         seed=0,
         verbose=False,
     )
-    assert len(trials) == 2
+    assert len(trials) == 3  # preflight + the 2 budget trials (ADVICE r4)
     assert best_cfg is not None
     assert np.isfinite(best_loss)
     out = os.path.join(str(tmp_path), "hyperopt_results")
@@ -150,9 +150,10 @@ def test_post_preflight_failures_still_caught(tmp_path):
     best_cfg, best_loss, trials = hyper_search(
         adata, n_trials=3, output_dir=str(tmp_path),
         objective=flaky, verbose=False)
-    assert len(trials) == 3
+    # preflight (outside the budget, reference test_fn contract) + 3 trials
+    assert len(trials) == 4
     assert best_loss == 1.0
-    assert [t["loss"] for t in trials[1:]] == [float("inf")] * 2
+    assert [t["loss"] for t in trials[1:]] == [float("inf")] * 3
 
 
 def test_parallel_search_matches_sequential(tmp_path):

@@ -288,3 +288,32 @@ def test_fetch_dtype_opt_in(monkeypatch):
 
     with pytest.raises(ValueError, match="DCA_TPU_FETCH_DTYPE"):
         net.forward(x)
+
+
+def test_fetch_dtype_never_corrupts_saved_weights(monkeypatch, tmp_path):
+    """DCA_TPU_FETCH_DTYPE is a predict-output knob ONLY: with it set,
+    save()/save_weights() must still persist bit-exact float32 parameters
+    (ADVICE r4 — the downcast used to leak into the persistence paths)."""
+    import h5py
+    import numpy as np
+
+    from dca_tpu.models import AE_types
+    from dca_tpu.models.network import load_model
+
+    net = AE_types["zinb-conddisp"](
+        input_size=16, hidden_size=(8, 4, 8), seed=0,
+        file_path=str(tmp_path))
+    net.build()
+    ref_kernel = np.asarray(net.params["trunk"]["enc0"]["kernel"])
+
+    monkeypatch.setenv("DCA_TPU_FETCH_DTYPE", "bf16")
+    net.save()
+    net.save_weights(str(tmp_path / "weights.hdf5"))
+
+    loaded = load_model(str(tmp_path / "model.pickle"))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params["trunk"]["enc0"]["kernel"]), ref_kernel)
+    with h5py.File(str(tmp_path / "weights.hdf5"), "r") as f:
+        disk = np.asarray(f["params/trunk/enc0/kernel"])
+    assert disk.dtype == np.float32
+    np.testing.assert_array_equal(disk, ref_kernel)
