@@ -220,8 +220,18 @@ class Autoencoder:
             B, G = out.shape
             return (r == B or r == 1) and (c == G or c == 1)
 
+        # per-row sample weights (auto-padded multi-process parts / weighted
+        # validation chunks) ride the weighted kernel variants as a (B, 1)
+        # operand instead of dropping to the pure-JAX path (VERDICT r4):
+        # the exact runs multi-process padding enables keep the kernel win
+        w_col = None
+        if sample_weights is not None:
+            sw = jnp.asarray(sample_weights, jnp.float32)
+            if sw.ndim == 1 and sw.shape[0] == out.shape[0]:
+                w_col = sw.reshape(-1, 1)
+
         fused_ok = (
-            sample_weights is None
+            (sample_weights is None or w_col is not None)
             and not debug  # the sanitizer asserts live in the pure-JAX path
             and use_fused_loss()
             and hasattr(target, "shape")
@@ -229,9 +239,13 @@ class Autoencoder:
         )
         if lk == "nb":
             if fused_ok:
-                from ..ops.fused_loss import nb_nll_fused
+                from ..ops.fused_loss import nb_nll_fused, nb_nll_fused_w
 
-                return nb_nll_fused(jnp.asarray(target, jnp.float32), out, disp,
+                y32 = jnp.asarray(target, jnp.float32)
+                if w_col is not None:
+                    return nb_nll_fused_w(y32, out, disp, w_col,
+                                          core._fused_interpret())
+                return nb_nll_fused(y32, out, disp,
                                     1.0, core._fused_interpret())
             return losses.nb_nll(
                 target, out, disp, masking=sample_weights is None,
@@ -240,10 +254,16 @@ class Autoencoder:
         if lk == "zinb":
             pi = outputs["pi"]
             if fused_ok and _bcastable(pi):
-                from ..ops.fused_loss import zinb_nll_fused
+                from ..ops.fused_loss import zinb_nll_fused, zinb_nll_fused_w
 
+                y32 = jnp.asarray(target, jnp.float32)
+                if w_col is not None:
+                    return zinb_nll_fused_w(
+                        y32, out, disp, pi, w_col,
+                        float(self.ridge), core._fused_interpret()
+                    )
                 return zinb_nll_fused(
-                    jnp.asarray(target, jnp.float32), out, disp, pi,
+                    y32, out, disp, pi,
                     float(self.ridge), core._fused_interpret()
                 )
             return losses.zinb_nll(

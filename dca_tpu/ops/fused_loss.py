@@ -140,8 +140,8 @@ def _elem_grads(y, mu, th_raw, pi, ridge):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, cnt_ref, *, B, G, BM,
-                BN, ridge, with_pi):
+def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, w_ref, out_ref, cnt_ref, *, B,
+                G, BM, BN, ridge, with_pi, with_w):
     i = pl.program_id(0)
     j = pl.program_id(1)
     y = y_ref[:]
@@ -155,17 +155,27 @@ def _fwd_kernel(y_ref, mu_ref, th_ref, pi_ref, out_ref, cnt_ref, *, B, G, BM,
     # out_ref/cnt_ref are the FULL (grid_i, grid_j) partial arrays in SMEM
     # (block == array, constant index_map — satisfies the TPU tile rule); each
     # grid step writes its own element, the host sums them.
-    out_ref[i, j] = jnp.sum(jnp.where(mask, res, 0.0))
-    # denominator contribution — reference masking semantics: NB divides by
-    # the number of non-NaN TARGETS (loss.py:12-14,109); ZINB's
-    # _reduce_mean_nan divides by the number of non-NaN RESULT elements
-    # (loss.py:17-20,144), which for finite mu/theta/pi is every element.
-    valid = mask & (~jnp.isnan(res) if with_pi else ~jnp.isnan(y))
-    cnt_ref[i, j] = jnp.sum(valid.astype(jnp.float32))
+    if with_w:
+        # losses._apply_weights semantics: per-row weights broadcast over
+        # genes, NaN targets additionally weight 0; the mean divides by the
+        # total effective weight.  The (BM, 1) weight block broadcasts in
+        # registers like the shared-theta operands.
+        w = w_ref[:]
+        valid = mask & ~jnp.isnan(y)
+        out_ref[i, j] = jnp.sum(jnp.where(valid, res * w, 0.0))
+        cnt_ref[i, j] = jnp.sum(jnp.where(valid, w, 0.0))
+    else:
+        out_ref[i, j] = jnp.sum(jnp.where(mask, res, 0.0))
+        # denominator contribution — reference masking semantics: NB divides
+        # by the number of non-NaN TARGETS (loss.py:12-14,109); ZINB's
+        # _reduce_mean_nan divides by the number of non-NaN RESULT elements
+        # (loss.py:17-20,144), which for finite mu/theta/pi is every element.
+        valid = mask & (~jnp.isnan(res) if with_pi else ~jnp.isnan(y))
+        cnt_ref[i, j] = jnp.sum(valid.astype(jnp.float32))
 
 
-def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, *out_refs, B, G, BM,
-                BN, ridge, with_pi):
+def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, w_ref, *out_refs,
+                B, G, BM, BN, ridge, with_pi, with_w):
     i = pl.program_id(0)
     j = pl.program_id(1)
     scale = scale_ref[0, 0]
@@ -178,6 +188,17 @@ def _bwd_kernel(scale_ref, y_ref, mu_ref, th_ref, pi_ref, *out_refs, B, G, BM,
     cols = jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1) + j * BN
     mask = (rows < B) & (cols < G)
     zero = jnp.zeros((BM, BN), jnp.float32)
+    if with_w:
+        # d(weighted mean)/dx = g * w_eff / denom per element; the (B, 1)
+        # weights broadcast over the gene dim, NaN targets get weight 0 —
+        # padded rows therefore contribute EXACTLY zero gradient
+        sel = mask & ~jnp.isnan(y)
+        f = w_ref[:] * scale
+        out_refs[0][:] = jnp.where(sel, dmu * f, zero)
+        out_refs[1][:] = jnp.where(sel, dth * f, zero)
+        if with_pi:
+            out_refs[2][:] = jnp.where(sel, dpi * f, zero)
+        return
     out_refs[0][:] = jnp.where(mask, dmu * scale, zero)
     out_refs[1][:] = jnp.where(mask, dth * scale, zero)
     if with_pi:
@@ -209,44 +230,58 @@ def _reduce_to(g, shape):
     return jnp.sum(g, axis=axes, keepdims=True)
 
 
-def _pallas_fwd(y, mu, th, pi, ridge, interpret):
+def _pallas_fwd(y, mu, th, pi, ridge, interpret, w=None):
     B, G = y.shape
     BM, BN = _tiles(B, G)
     grid = (pl.cdiv(B, BM), pl.cdiv(G, BN))
     with_pi = pi is not None
+    with_w = w is not None
     pi_in = pi if with_pi else th  # dummy operand to keep arity static
+    w_in = w if with_w else th
 
     block = pl.BlockSpec((BM, BN), lambda i, j: (i, j))
     kernel = functools.partial(
-        _fwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
+        _fwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi,
+        with_w=with_w,
     )
     smem_out = pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     partials, counts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[block, block, _op_spec(th.shape, BM, BN),
-                  _op_spec(pi_in.shape, BM, BN)],
+                  _op_spec(pi_in.shape, BM, BN),
+                  _op_spec(w_in.shape, BM, BN)],
         out_specs=[smem_out, smem_out],
         out_shape=[
             jax.ShapeDtypeStruct(grid, jnp.float32),
             jax.ShapeDtypeStruct(grid, jnp.float32),
         ],
         interpret=interpret,
-    )(y, mu, th, pi_in)
-    denom = jnp.maximum(jnp.sum(counts), 1.0)  # loss.py:14 — clamp 0/0
+    )(y, mu, th, pi_in, w_in)
+    total = jnp.sum(counts)
+    if with_w:
+        # losses._apply_weights clamps only EXACT zero (fractional totals
+        # must divide as-is); the unweighted denominator is a whole count,
+        # where max() and the reference's where(==0, 1) agree (loss.py:14)
+        denom = jnp.where(total == 0.0, 1.0, total)
+    else:
+        denom = jnp.maximum(total, 1.0)
     return jnp.sum(partials) / denom, denom
 
 
-def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret):
+def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret, w=None):
     B, G = y.shape
     BM, BN = _tiles(B, G)
     grid = (pl.cdiv(B, BM), pl.cdiv(G, BN))
     with_pi = pi is not None
+    with_w = w is not None
     pi_in = pi if with_pi else th
+    w_in = w if with_w else th
 
     block = pl.BlockSpec((BM, BN), lambda i, j: (i, j))
     kernel = functools.partial(
-        _bwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi
+        _bwd_kernel, B=B, G=G, BM=BM, BN=BN, ridge=ridge, with_pi=with_pi,
+        with_w=with_w,
     )
     out_shape = jax.ShapeDtypeStruct((B, G), jnp.float32)
     n_out = 3 if with_pi else 2  # no dummy all-zero dpi HBM write for NB
@@ -259,11 +294,12 @@ def _pallas_bwd(y, mu, th, pi, ridge, scale, interpret):
             block,
             _op_spec(th.shape, BM, BN),
             _op_spec(pi_in.shape, BM, BN),
+            _op_spec(w_in.shape, BM, BN),
         ],
         out_specs=[block] * n_out,
         out_shape=[out_shape] * n_out,
         interpret=interpret,
-    )(scale.reshape((1, 1)), y, mu, th, pi_in)
+    )(scale.reshape((1, 1)), y, mu, th, pi_in, w_in)
     dmu, dth = outs[0], outs[1]
     # broadcast θ/π cotangents reduce to the operand's shape — the grads are
     # computed full-tile in registers, summed here by XLA (training batches
@@ -337,3 +373,66 @@ def _nb_bwd(scale_factor, interpret, res, g):
 
 
 nb_nll_fused.defvjp(_nb_fwd, _nb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# weighted variants (rebuild extension — VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+#
+# The auto-padded multi-process parts and validation chunks carry per-row
+# sample weights (train/loop.py), which used to force those runs off the
+# fused kernels.  These wrappers add a (B, 1) weight operand that rides the
+# same in-tile broadcast machinery as shared theta/pi: semantics equal
+# losses.*(sample_weights=w) — weighted mean with NaN targets weight 0,
+# zero-weight (padding) rows contributing exactly nothing to value or
+# gradient.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def zinb_nll_fused_w(y, mu, theta, pi, w, ridge_lambda=0.0, interpret=False):
+    """Weighted mean ZINB NLL == losses.zinb_nll(..., sample_weights=w).
+
+    ``w`` is the per-row weight column, shape (B, 1) f32; everything else
+    as zinb_nll_fused."""
+    loss, _ = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret, w=w)
+    return loss
+
+
+def _zinb_w_fwd(y, mu, theta, pi, w, ridge_lambda, interpret):
+    loss, denom = _pallas_fwd(y, mu, theta, pi, ridge_lambda, interpret, w=w)
+    return loss, (y, mu, theta, pi, w, denom)
+
+
+def _zinb_w_bwd(ridge_lambda, interpret, res, g):
+    y, mu, theta, pi, w, denom = res
+    scale = (g / denom).astype(jnp.float32)
+    dmu, dth, dpi = _pallas_bwd(y, mu, theta, pi, ridge_lambda, scale,
+                                interpret, w=w)
+    return jnp.zeros_like(y), dmu, dth, dpi, jnp.zeros_like(w)
+
+
+zinb_nll_fused_w.defvjp(_zinb_w_fwd, _zinb_w_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def nb_nll_fused_w(y, mu, theta, w, interpret=False):
+    """Weighted mean NB NLL == losses.nb_nll(..., sample_weights=w).
+
+    ``w`` is the per-row weight column, shape (B, 1) f32."""
+    loss, _ = _pallas_fwd(y, mu, theta, None, 0.0, interpret, w=w)
+    return loss
+
+
+def _nb_w_fwd(y, mu, theta, w, interpret):
+    loss, denom = _pallas_fwd(y, mu, theta, None, 0.0, interpret, w=w)
+    return loss, (y, mu, theta, w, denom)
+
+
+def _nb_w_bwd(interpret, res, g):
+    y, mu, theta, w, denom = res
+    scale = (g / denom).astype(jnp.float32)
+    dmu, dth, _ = _pallas_bwd(y, mu, theta, None, 0.0, scale, interpret, w=w)
+    return jnp.zeros_like(y), dmu, dth, jnp.zeros_like(w)
+
+
+nb_nll_fused_w.defvjp(_nb_w_fwd, _nb_w_bwd)

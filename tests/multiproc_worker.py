@@ -225,5 +225,22 @@ print("RANK%d P5 %s|%s" % (
     ",".join(f"{v:.6f}" for v in hist5p.history["val_loss"])), flush=True)
 del os.environ["DCA_TPU_DEVICE_DENSIFY"]
 
+# fused-kernel variant of the same indivisible-size streaming run: the
+# auto-padded val chunks carry sample weights, which now ride the WEIGHTED
+# fused kernels (interpret mode on CPU) instead of dropping to pure JAX —
+# trajectory must still match the single-process oracle (VERDICT r4 item 4)
+os.environ["DCA_TPU_FUSED_LOSS"] = "1"
+net5f = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net5f.build()
+hist5f = train(_adata5(counts5.copy()), net5f, epochs=2, batch_size=16,
+               validation_split=0.3, verbose=False, seed=0,
+               devices=jax.devices(), compiled=False, reduce_lr=0,
+               early_stop=0, max_device_cells=32)
+print("RANK%d F5 %s|%s" % (
+    rank,
+    ",".join(f"{v:.6f}" for v in hist5f.history["loss"]),
+    ",".join(f"{v:.6f}" for v in hist5f.history["val_loss"])), flush=True)
+del os.environ["DCA_TPU_FUSED_LOSS"]
+
 mhu.sync_global_devices("phase5-done")
 print(f"RANK{rank} PHASE5DONE", flush=True)

@@ -297,8 +297,11 @@ def _assert_phase5(outs):
                 [float(v) for v in val.split(",")])
 
     dense_ref, stream_ref, payload_ref = _phase5_oracles()
+    # F5 (fused kernels forced, weighted-val padding) compares against the
+    # same streaming oracle: the weighted fused kernels are equivalence-
+    # tested at ~1e-4 (tests/test_pallas.py), inside the 2e-3 tolerance
     for tag, (ref_loss, ref_val) in [("H5", dense_ref), ("S5", stream_ref),
-                                     ("P5", payload_ref)]:
+                                     ("P5", payload_ref), ("F5", stream_ref)]:
         l0, v0 = parse(grab(tag, outs[0]))
         l1, v1 = parse(grab(tag, outs[1]))
         np.testing.assert_allclose(l0, l1, rtol=1e-6, err_msg=tag)
