@@ -161,6 +161,15 @@ def parse_args(argv=None):
                         "the gene dimension of the input/head weight matrices "
                         "over this many devices (default: 1, pure data "
                         "parallelism). Requires --devices.")
+    parser.add_argument("--outputformat", dest="outputformat", type=str,
+                        default="tsv", choices=("tsv", "h5ad"),
+                        help="Output format (rebuild extension): 'tsv' is the "
+                        "reference TSV contract; 'h5ad' writes one "
+                        "denoised.h5ad with chunked dense layers — the "
+                        "recommended format for >100k-cell outputs, where "
+                        "the transposed text matrices reach tens of GB. "
+                        "Outputs larger than DCA_TPU_HOST_DENSE_BYTES "
+                        "stream to disk incrementally in either format.")
 
     parser.set_defaults(
         transpose=False,

@@ -292,19 +292,36 @@ class Autoencoder:
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def forward(self, count, size_factors=None, scale_mean=None,
-                scale_std=None, chunk_rows=32768, keys=None):
-        """Eval-mode forward over a full matrix; returns numpy outputs dict.
+    def _auto_chunk_rows(self, n_keys):
+        """Rows per predict block: sized so ~DCA_TPU_PREDICT_BLOCK_BYTES of
+        input+outputs sit on device per block (two blocks are in flight
+        under the pipelined iterator), capped at the historical 32768."""
+        budget = int(os.environ.get("DCA_TPU_PREDICT_BLOCK_BYTES",
+                                    2_000_000_000))
+        G = max(self.input_size, self.output_size, 1)
+        rows = budget // (4 * G * (max(n_keys, 1) + 1))
+        return int(max(1024, min(32768, rows)))
+
+    def iter_forward_blocks(self, count, size_factors=None, scale_mean=None,
+                            scale_std=None, chunk_rows=None, keys=None):
+        """Yield ``(lo, hi, {key: np.ndarray})`` eval-mode forward blocks.
+
+        Software-pipelined (single-process): while block k's outputs cross
+        the link back to the host, block k+1's payload is already built (a
+        background thread runs the JAX-free host prep) and its
+        upload+compute dispatched — the fetch leg, which dominates
+        wide-panel predicts on slow links, overlaps the next block's work
+        instead of serializing with it (the trainer's ``_staged`` pattern,
+        train/loop.py).  ``DCA_TPU_PREFETCH=0`` disables; multi-process
+        runs stay serial (concurrent dispatch would reorder collectives
+        across ranks).
 
         ``scale_mean``/``scale_std``: deferred z-scale stats from
-        ``normalize(lazy_scale=True)``, applied to each (densified) block
-        before the model — in lazy mode ``adata.X`` still holds raw counts.
-        ``chunk_rows``: rows per device block; matrices larger than this
-        stream through in fixed blocks so a 1M-cell predict never
-        materializes the dense input (or output transfer) all at once.
-        ``keys``: restrict the transferred/merged outputs to these names —
-        at 1M-cell scale every extra (N, G) output is tens of GB of host
-        memory, so predict passes only what its mode needs.
+        ``normalize(lazy_scale=True)`` — in lazy mode ``adata.X`` still
+        holds raw counts.  ``chunk_rows=None`` auto-sizes blocks from
+        DCA_TPU_PREDICT_BLOCK_BYTES.  ``keys`` restricts the transferred
+        outputs — at 1M-cell scale every extra (N, G) output is tens of GB
+        across the link.
         """
         assert self.params is not None, "call build() first"
         n = count.shape[0]
@@ -330,42 +347,100 @@ class Autoencoder:
         use_payload = sp.isspmatrix_csr(count) and use_device_densify()
         nnz_moments = None
         if use_payload:
-            from ..ops.densify import (
-                device_densify_flat,
-                flat_payload_from_csr,
-                flat_slots_for,
-            )
+            from ..ops.densify import flat_slots_for
 
             _nnz = np.diff(count.indptr)
             nnz_moments = (float(_nnz.mean()), float(_nnz.std()))
 
-        def block(lo, hi):
+        def prep(lo, hi):
+            """Host half (payload build / densify+scale) — no JAX calls,
+            safe on the prefetch thread."""
             if use_payload:
+                from ..ops.densify import flat_payload_from_csr, flat_slots_for
+
                 rows = np.arange(lo, hi, dtype=np.int64)
                 L = flat_slots_for(count, rows, nnz_moments)
-                cnts, cols, vals = flat_payload_from_csr(count, rows, L)
+                return flat_payload_from_csr(count, rows, L)
+            x = _densify(count[lo:hi])
+            if scale_mean is not None:
+                x = (x - scale_mean) / scale_std
+            return x
+
+        def compute(prepped, lo, hi):
+            """Device half: upload + dispatch (async), returns device dict."""
+            if use_payload:
+                from ..ops.densify import device_densify_flat
+
+                cnts, cols, vals = prepped
                 x = device_densify_flat(cnts, cols, vals, hi - lo,
                                         count.shape[1], scale_mean, scale_std)
             else:
-                x = _densify(count[lo:hi])
-                if scale_mean is not None:
-                    x = (x - scale_mean) / scale_std
+                x = prepped
             out = self._predict_jit(self.params, self.state, x,
                                     size_factors[lo:hi])
             if keys is not None:
                 out = {k: out[k] for k in keys}
+            return out
+
+        def fetch(out):
             return {k: _gathered_numpy(v, allow_downcast=True)
                     for k, v in out.items()}
 
-        if n <= chunk_rows:
-            return block(0, n)
-        pieces = [block(lo, min(lo + chunk_rows, n))
-                  for lo in range(0, n, chunk_rows)]
+        if chunk_rows is None:
+            chunk_rows = self._auto_chunk_rows(
+                len(keys) if keys is not None else 5)
+        blocks = [(lo, min(lo + chunk_rows, n))
+                  for lo in range(0, n, chunk_rows)] or [(0, 0)]
+
+        pipelined = (
+            len(blocks) > 1
+            and jax.process_count() == 1
+            and os.environ.get("DCA_TPU_PREFETCH", "1") != "0"
+        )
+        if not pipelined:
+            for lo, hi in blocks:
+                yield lo, hi, fetch(compute(prep(lo, hi), lo, hi))
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            prep_fut = pool.submit(prep, *blocks[0])
+            pending = None
+            for i, (lo, hi) in enumerate(blocks):
+                prepped = prep_fut.result()
+                if i + 1 < len(blocks):
+                    prep_fut = pool.submit(prep, *blocks[i + 1])
+                dev = compute(prepped, lo, hi)  # async dispatch
+                if pending is not None:
+                    plo, phi, pdev = pending
+                    yield plo, phi, fetch(pdev)
+                pending = (lo, hi, dev)
+            plo, phi, pdev = pending
+            yield plo, phi, fetch(pdev)
+        finally:
+            pool.shutdown(wait=False)
+
+    def forward(self, count, size_factors=None, scale_mean=None,
+                scale_std=None, chunk_rows=None, keys=None):
+        """Eval-mode forward over a full matrix; returns numpy outputs dict
+        (see :meth:`iter_forward_blocks` for the block pipeline)."""
+        pieces = []
+        rows0 = None
+        for lo, hi, out in self.iter_forward_blocks(
+            count, size_factors, scale_mean, scale_std, chunk_rows, keys
+        ):
+            if rows0 is None:
+                rows0 = hi - lo
+            pieces.append(out)
+        if len(pieces) == 1:
+            return pieces[0]
         merged = {}
         for k, v0 in pieces[0].items():
             if v0 is None:
                 merged[k] = None
-            elif np.ndim(v0) >= 1 and v0.shape[0] == chunk_rows:
+            elif np.ndim(v0) >= 1 and v0.shape[0] == rows0:
                 merged[k] = np.concatenate([p[k] for p in pieces], axis=0)
             else:  # per-gene constants (e.g. constant dispersion), not per-row
                 merged[k] = v0
@@ -705,6 +780,210 @@ class Autoencoder:
                     rownames=rownames,
                     transpose=False,
                 )
+
+    # ------------------------------------------------------------------
+    # streaming predict -> write (corpus scale)
+    # ------------------------------------------------------------------
+    def write_streaming(self, adata, file_path, mode="full", colnames=None,
+                        return_info=False, output_format="tsv",
+                        chunk_rows=None):
+        """One-pass denoise -> incremental write (rebuild extension).
+
+        The reference pipeline materializes the full denoised matrix in
+        host memory before writing — predict() then write()
+        (train.py:190-191, network.py:188-231) — which at corpus scale
+        (1.3M x 3451: ~18 GB per (N, G) output plus a ~40 GB transposed
+        text file) cannot sit resident.  This method streams blocks from
+        the pipelined chunked predict (:meth:`iter_forward_blocks`)
+        straight into incremental writers (data/stream_write.py), so peak
+        host memory stays O(block + gene strip) regardless of N.
+
+        ``output_format='tsv'`` emits the exact reference TSV contract
+        (mean.tsv gene x cell, mean_norm/latent/reduced/dispersion/
+        dropout/pi aliases — byte-identical to predict()+write(), asserted
+        by tests/test_stream_write.py); ``'h5ad'`` writes a single
+        ``<file_path>/denoised.h5ad`` with chunked dense ``X`` = denoised
+        plus the obsm/var layers of the AnnData side-effect contract — the
+        documented alternative to multi-10-GB text for >100k-cell outputs.
+
+        Side effects on ``adata``: only SMALL outputs are stored
+        (``obsm['X_dca']`` when mode covers latent; var/uns dispersion for
+        constant-dispersion archs).  The (N, G) outputs go to disk only —
+        unlike predict(), adata.X is NOT overwritten.
+
+        ``return_info`` mirrors the predict-order quirks: ZINB-family
+        dispersion/dropout come from the same pre-denoise pass
+        (network.py:395-405); NB-conddisp dispersion is recomputed from
+        each DENOISED block (network.py:318-328) — per-block equivalent
+        since eval BatchNorm uses running statistics.
+        """
+        from ..data.stream_write import (
+            H5ADStreamWriter,
+            RowStreamTSV,
+            TransposedSpillTSV,
+        )
+
+        assert mode in ("denoise", "latent", "full"), "Unknown mode"
+        assert output_format in ("tsv", "h5ad"), output_format
+        colnames = adata.var_names.values if colnames is None else np.asarray(colnames)
+        rownames = adata.obs_names.values
+
+        disp_kind, has_pi, _ = core._STAGE_HEADS[self.ae_type]
+        lk = self.definition.likelihood
+        want_denoise = mode in ("denoise", "full")
+        want_latent = mode in ("latent", "full")
+        if output_format == "h5ad" and not want_denoise:
+            raise ValueError("output_format='h5ad' needs mode 'denoise' or "
+                             "'full' (X holds the denoised matrix)")
+
+        keys = list(self._PREDICT_KEYS[mode])
+        info_same_pass_disp = (return_info and lk == "zinb"
+                               and disp_kind in ("conddisp", "shared"))
+        info_pi = return_info and has_pi
+        info_post_disp = (return_info and lk == "nb"
+                          and disp_kind in ("conddisp", "shared")
+                          and want_denoise)
+        if info_same_pass_disp:
+            keys.append("disp")
+        if info_pi:
+            keys.append("pi")
+
+        writer_rank = _is_writer()
+        writers = {}       # key -> incremental writer
+        small_acc = {}     # key -> list of small (B, 1) blocks
+        h5 = None
+        print("dca_tpu: Saving output(s)... [streaming]")
+        if writer_rank:
+            os.makedirs(file_path, exist_ok=True)
+        if output_format == "h5ad" and writer_rank:
+            h5 = H5ADStreamWriter(
+                os.path.join(file_path, "denoised.h5ad"),
+                n_obs=adata.n_obs, n_vars=len(colnames),
+                obs_index=rownames, var_index=colnames,
+            )
+
+        def _transposed(fname, header=True):
+            # mean.tsv/mean_norm.tsv get the cell-name header (write() passes
+            # rownames); the dispersion/dropout/pi writers do NOT — the
+            # reference write calls omit rownames, so after the transpose
+            # swap colnames=None and no header is emitted (network.py:407-421)
+            return TransposedSpillTSV(
+                os.path.join(file_path, fname),
+                rownames=colnames, colnames=rownames if header else None,
+            )
+
+        if writer_rank and output_format == "tsv":
+            if want_denoise:
+                writers["output"] = [_transposed("mean.tsv")]
+                writers["mean_norm"] = [_transposed("mean_norm.tsv")]
+            if want_latent:
+                writers["latent"] = [
+                    RowStreamTSV(os.path.join(file_path, f),
+                                 rownames=rownames)
+                    for f in ("latent.tsv", "reduced.tsv")
+                ]
+            if (info_same_pass_disp or info_post_disp) and disp_kind == "conddisp":
+                writers["disp"] = [_transposed("dispersion.tsv", header=False)]
+            if info_pi and self.ae_type != "zinb-shared":
+                writers["pi"] = [_transposed(f, header=False)
+                                 for f in ("dropout.tsv", "pi.tsv")]
+
+        H5_KEYS = {"output": "X", "latent": "X_dca",
+                   "mean_norm": "X_dca_mean_norm",
+                   "disp": "X_dca_dispersion", "pi": "X_dca_dropout"}
+
+        def _sink(key, block):
+            """Route one block of one output to its writers/accumulators."""
+            if block.ndim == 2 and block.shape[1] == 1:
+                # *-shared heads: (N, 1) totals are tiny — accumulate and
+                # write once at the end via the non-streaming writer, so
+                # behavior (incl. its quirks) matches write() exactly
+                small_acc.setdefault(key, []).append(block)
+                return
+            if not writer_rank:
+                return
+            for w in writers.get(key, ()):
+                w.append(block)
+            if h5 is not None and key in H5_KEYS:
+                h5.append(H5_KEYS[key], block)
+
+        sf = self._sf_of(adata)
+        latent_acc = [] if want_latent else None
+        post_jit = None
+        try:
+            for lo, hi, out in self.iter_forward_blocks(
+                adata.X, sf, *self._lazy_scale(adata),
+                chunk_rows=chunk_rows, keys=tuple(keys),
+            ):
+                for k in keys:
+                    _sink(k, out[k])
+                if latent_acc is not None:
+                    latent_acc.append(out["latent"])
+                if info_post_disp:
+                    # NB-conddisp quirk: dispersion from the DENOISED matrix
+                    # (network.py:318-328) — feed the block straight back
+                    if post_jit is None:
+                        definition = self.definition
+
+                        @jax.jit
+                        def post_jit(params, state, x, sfb):
+                            o, _ = core.apply(definition, params, state,
+                                              x, sfb, training=False)
+                            return o["disp"]
+
+                    d = _gathered_numpy(
+                        post_jit(self.params, self.state,
+                                 jnp.asarray(out["output"]), sf[lo:hi]),
+                        allow_downcast=True)
+                    _sink("disp", d)
+        except BaseException:
+            if writer_rank:
+                for ws in writers.values():
+                    for w in ws:
+                        (w.abort_spill if hasattr(w, "abort_spill")
+                         else w.abort)()
+            if h5 is not None:
+                h5.abort()
+            raise
+
+        # ---- small / per-gene outputs + adata side effects
+        if latent_acc is not None:
+            adata.obsm["X_dca"] = np.concatenate(latent_acc, axis=0)
+        if return_info and disp_kind == "constant":
+            self._store_dispersion(adata)
+
+        if writer_rank:
+            for ws in writers.values():
+                for w in ws:
+                    w.close()
+            if output_format == "tsv":
+                if return_info and disp_kind == "constant":
+                    disp = self._stored_dispersion(adata)
+                    if disp is not None:
+                        write_text_matrix(
+                            disp.reshape(1, -1),
+                            os.path.join(file_path, "dispersion.tsv"),
+                            colnames=colnames, transpose=True)
+                for key, fnames in (("disp", ("dispersion.tsv",)),
+                                    ("pi", ("dropout.tsv", "pi.tsv"))):
+                    if key in small_acc:
+                        m = np.concatenate(small_acc[key], axis=0)
+                        for f in fnames:
+                            # reference call shape: colnames only (no
+                            # rownames), transpose=True — network.py:407-421
+                            write_text_matrix(
+                                m, os.path.join(file_path, f),
+                                colnames=colnames, transpose=True)
+            if h5 is not None:
+                for key, fn in (("disp", "X_dca_dispersion"),
+                                ("pi", "X_dca_dropout")):
+                    if key in small_acc:
+                        h5.append(fn, np.concatenate(small_acc[key], axis=0))
+                if return_info and disp_kind == "constant":
+                    disp = self._stored_dispersion(adata)
+                    if disp is not None and disp.size == len(colnames):
+                        h5.set_var_vector("X_dca_dispersion", disp)
+                h5.close()
 
 
 # ---------------------------------------------------------------------------

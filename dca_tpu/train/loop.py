@@ -766,8 +766,20 @@ def train_with_args(args):
     else:
         predict_columns = adata.var_names
 
-    net.predict(adata, mode="full", return_info=True)
-    net.write(adata, args.outputdir, mode="full", colnames=predict_columns)
+    # corpus-scale outputs stream block-wise to disk instead of
+    # materializing every (N, G) output in host memory (the reference's
+    # predict-then-write, train.py:190-191, needs the full dense matrix
+    # resident — ~18 GB at the paper's 1.3M-cell scale)
+    out_fmt = getattr(args, "outputformat", "tsv")
+    out_bytes = adata.n_obs * output_size * 4
+    limit = int(os.environ.get("DCA_TPU_HOST_DENSE_BYTES", 2_000_000_000))
+    if out_fmt == "h5ad" or out_bytes > limit:
+        net.write_streaming(adata, args.outputdir, mode="full",
+                            colnames=predict_columns, return_info=True,
+                            output_format=out_fmt)
+    else:
+        net.predict(adata, mode="full", return_info=True)
+        net.write(adata, args.outputdir, mode="full", colnames=predict_columns)
 
 
 def _train_compiled(
