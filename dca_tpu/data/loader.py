@@ -126,6 +126,27 @@ class FlatChunk:
         return (self.n_rows, self.n_cols)
 
 
+class FlatShardedChunk:
+    """Per-device-shard FLAT payloads stacked on a leading shard axis, for
+    mesh streaming (ops.densify.make_sharded_flat_densifier): ``counts``
+    (S, Bs+1) int32, ``col`` (S, L), ``val`` (S, L) — shard s holds the
+    flat encoding of rows [s*Bs, (s+1)*Bs), matching the dense chunk's
+    ``P('data', None)`` row partition, with one common padded slot count L
+    so the stack is rectangular.  Same ~6-8 bytes/nonzero on the wire as
+    FlatChunk (plus slack where shards are lighter than the heaviest)."""
+
+    __slots__ = ("counts", "col", "val", "n_rows", "n_cols", "n_shards")
+
+    def __init__(self, counts, col, val, n_rows, n_cols, n_shards):
+        self.counts, self.col, self.val = counts, col, val
+        self.n_rows, self.n_cols = int(n_rows), int(n_cols)
+        self.n_shards = int(n_shards)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
 def _gather_dense(X, idx) -> np.ndarray:
     from .. import native
 
@@ -288,15 +309,8 @@ class StreamingData:
         326 s steady flat epochs at the 1.3M corpus before this fix)."""
         from ..ops.densify import flat_slots_for
 
-        if not hasattr(self, "_nnz_moments"):
-            self._nnz_moments = {}
-            self._nnz_vec = {}
-        if id(M) not in self._nnz_moments:
-            nnz = np.diff(M.indptr)
-            self._nnz_vec[id(M)] = nnz
-            self._nnz_moments[id(M)] = (float(nnz.mean()), float(nnz.std()))
-        return flat_slots_for(M, idx, self._nnz_moments[id(M)],
-                              nnz=self._nnz_vec[id(M)])
+        moments, nnz = self._nnz_cache(M)
+        return flat_slots_for(M, idx, moments, nnz=nnz)
 
     def _integral_vals(self, M):
         """True when M's values are exact uint16 integers (raw counts) —
@@ -330,8 +344,58 @@ class StreamingData:
                 2.0 * L * rate + 8.0 * np.sqrt(L * rate)) + 64
         return self._exc_buckets[key]
 
-    def _component(self, M, idx, K, is_input):
+    def _nnz_cache(self, M):
+        """(moments, nnz vector) for M, computed once (see _flat_bucket)."""
+        if not hasattr(self, "_nnz_moments"):
+            self._nnz_moments = {}
+            self._nnz_vec = {}
+        if id(M) not in self._nnz_moments:
+            nnz = np.diff(M.indptr)
+            self._nnz_vec[id(M)] = nnz
+            self._nnz_moments[id(M)] = (float(nnz.mean()), float(nnz.std()))
+        return self._nnz_moments[id(M)], self._nnz_vec[id(M)]
+
+    def _flat_sharded_component(self, M, idx, shards):
+        """Per-shard flat payloads with ONE common slot bucket L: the
+        deterministic shard-size bucket (flat_slots_for) laddered on the
+        heaviest shard, so same-size parts reuse one compiled sharded
+        scatter and every shard stacks rectangular."""
+        from ..ops.densify import flat_payload_from_csr, flat_slots_for
+
+        moments, nnz = self._nnz_cache(M)
+        idx = np.asarray(idx, np.int64)
+        S = int(shards)
+        Bs = len(idx) // S
+        totals = nnz[idx].reshape(S, Bs).sum(axis=1)
+        heavy = int(np.argmax(totals))
+        L = flat_slots_for(M, idx[heavy * Bs:(heavy + 1) * Bs], moments,
+                           nnz=nnz)
+        int_vals = self._integral_vals(M)
+        counts = np.empty((S, Bs + 1), np.int32)
+        cols = vals = None
+        for s in range(S):
+            c_s, col_s, v_s = flat_payload_from_csr(
+                M, idx[s * Bs:(s + 1) * Bs], L, int_vals=int_vals
+            )
+            if cols is None:
+                cols = np.empty((S, L), col_s.dtype)
+                vals = np.empty((S, L), v_s.dtype)
+            counts[s] = c_s
+            cols[s] = col_s
+            vals[s] = v_s
+        return FlatShardedChunk(counts, cols, vals, len(idx), M.shape[1], S)
+
+    def _component(self, M, idx, K, is_input, mesh_shards=None):
         mode = self._mode_x if is_input else self._mode_t
+        if mesh_shards is not None and mode in ("flat", "flat8"):
+            if mode == "flat" and len(idx) >= mesh_shards and (
+                len(idx) % mesh_shards == 0
+            ):
+                return self._flat_sharded_component(M, idx, mesh_shards)
+            # odd part sizes (and flat8, which stays single-device) fall
+            # back to padded slabs — they row-shard/replicate cleanly in
+            # the mesh staging layer (train/loop.py _mesh_densify)
+            mode = "padded"
         if mode == "flat8":
             from ..ops.densify import Flat8Overflow, flat8_payload_from_csr
 
@@ -370,21 +434,28 @@ class StreamingData:
             x = (x - self.scale_mean) / self.scale_std
         return x
 
-    def materialize(self, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def materialize(self, idx, mesh_shards=None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``mesh_shards``: set by the mesh staging layer (= |data axis|) —
+        flat components come back as FlatShardedChunk (per-shard stacks)
+        when the part divides the axis, padded slabs otherwise."""
         if self.derive_input:
             # ship ONE payload: the trainer derives the input from the
             # densified target on device (x is t by IDENTITY — the staging
             # layer keys on that)
-            t = self._component(self.target, idx, self._K_t, False)
+            t = self._component(self.target, idx, self._K_t, False,
+                                mesh_shards=mesh_shards)
             return t, t, self.sf[idx]
-        x = self._component(self.X, idx, self._K_x, True)
-        t = self._component(self.target, idx, self._K_t, False)
+        x = self._component(self.X, idx, self._K_x, True,
+                            mesh_shards=mesh_shards)
+        t = self._component(self.target, idx, self._K_t, False,
+                            mesh_shards=mesh_shards)
         if self._shared_pattern:
             # equal by construction — alias by IDENTITY so the staging
             # layer ships the index stream once per chunk
-            if isinstance(x, FlatChunk) and isinstance(t, FlatChunk) and (
-                x.col.shape == t.col.shape and x.col.dtype == t.col.dtype
-            ):
+            if (isinstance(x, (FlatChunk, FlatShardedChunk))
+                    and type(t) is type(x)
+                    and x.col.shape == t.col.shape
+                    and x.col.dtype == t.col.dtype):
                 t.counts, t.col = x.counts, x.col
             elif isinstance(x, Flat8Chunk) and isinstance(t, Flat8Chunk) and (
                 x.gaps.shape == t.gaps.shape

@@ -358,6 +358,47 @@ def make_sharded_densifier(n_cols, out_sharding, with_scale):
     return jax.jit(fn, out_shardings=out_sharding)
 
 
+def make_sharded_flat_densifier(mesh, n_cols, with_scale):
+    """Compile a FLAT-payload scatter whose dense OUTPUT is row-sharded over
+    the mesh's 'data' axis (VERDICT r4: the best wire format now composes
+    with the mesh).
+
+    The flat COO stream has no clean row partition, so the loader builds
+    PER-SHARD payloads stacked on a leading shard axis — ``counts``
+    (S, Bs+1) int32, ``col`` (S, L), ``val`` (S, L) with S = |data axis|
+    (data/loader.py FlatShardedChunk).  This densifier shard_maps the
+    single-device flat scatter over that axis: each device decodes its own
+    payload into its (Bs, n_cols) row block — no collective, and the
+    (B, G) chunk comes out ``P('data', None)`` like the padded
+    make_sharded_densifier's.  The z-scale epilogue (replicated (G,)
+    vectors) fuses outside the shard_map when ``with_scale``.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_cols = int(n_cols)
+
+    def _one(counts, col, val):
+        # per-device blocks arrive (1, Bs+1)/(1, L); Bs is static via shape
+        Bs = counts.shape[1] - 1
+        return _flat_scatter_impl(
+            counts[0].astype(jnp.int32), col[0], val[0], Bs, n_cols
+        )
+
+    smap = shard_map(
+        _one, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data", None)),
+        out_specs=P("data", None),
+    )
+    if with_scale:
+        fn = lambda counts, col, val, mean, std: (
+            (smap(counts, col, val) - mean) / std
+        )
+    else:
+        fn = lambda counts, col, val: smap(counts, col, val)
+    return jax.jit(fn)
+
+
 def payload_from_csr(X, rows, K=None, int_vals=False):
     """Build the padded (idx, dat) payload for CSR rows via the C++ tier.
 

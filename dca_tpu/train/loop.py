@@ -954,19 +954,24 @@ def _train_streaming(
     # Composes with the mesh path too: payloads are row-sharded over 'data'
     # and scattered shard-locally (make_sharded_densifier).
     dev_densify = use_device_densify()
-    # the mesh staging row-shards (B, K) slabs; the flat COO encoding has no
-    # clean row partition, so a mesh forces the padded payload
-    pmode = "padded" if mesh is not None else "auto"
+    # single-process meshes stream the flat encoding as per-shard stacks
+    # (FlatShardedChunk -> make_sharded_flat_densifier, VERDICT r4 item 2);
+    # MULTI-process staging still row-slices (B, K) slabs per host, which
+    # the flat COO stream does not support, so it forces padded payloads
+    pmode = ("padded" if mesh is not None and jax.process_count() > 1
+             else "auto")
 
     # ship-one-payload mode: when the normalized input is an elementwise
     # per-row function of the raw target (the default normalize pipeline:
     # x = log1p(raw * m_r), z-scale fused on device), only the target
     # payload crosses the link and the input is DERIVED on device —
-    # halves the transfer of the transfer-bound 1M-cell epochs
+    # halves the transfer of the transfer-bound 1M-cell epochs.  Composes
+    # with single-process meshes (the derive is elementwise, GSPMD shards
+    # it with the row-sharded target); multi-process staging ships both.
     X_tr, X_va = X[:split_at], X[split_at:]
     T_tr, T_va = target[:split_at], target[split_at:]
     m_tr = m_va = None
-    if (dev_densify and mesh is None and scale_mean is not None
+    if (dev_densify and jax.process_count() == 1 and scale_mean is not None
             and os.environ.get("DCA_TPU_DERIVE_INPUT", "1") != "0"):
         m_tr = _derivable_row_scale(X_tr, T_tr)
         if m_tr is not None and split_at < n:
@@ -1056,10 +1061,17 @@ def _train_streaming(
 
     params, state = network.params, network.state
     opt_state = opt.init(params)
+    _derive_impl = jax.jit(
+        lambda t, m, mu, sd_: (jnp.log1p(t * m[:, None]) - mu) / sd_
+    )
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
-        from ..ops.densify import make_sharded_densifier
+        from ..data.loader import FlatShardedChunk
+        from ..ops.densify import (
+            make_sharded_densifier,
+            make_sharded_flat_densifier,
+        )
         from ..parallel.mesh import batch_sharding, batch_vector_sharding, replicated
         from ..parallel.step import place_train_state, shard_train_data as _shard
 
@@ -1070,6 +1082,32 @@ def _train_streaming(
         bsh, vsh, rsh = batch_sharding(mesh), batch_vector_sharding(mesh), replicated(mesh)
         n_data_axis = mesh.shape["data"]
         _densifiers = {}  # (n_cols, scaled, even) -> compiled sharded scatter
+        _flat_densifiers = {}  # (L, Bs, scaled, dtypes) -> compiled scatter
+
+        def _flat_sharded_ship(c, scaled, reuse=None):
+            """Upload a FlatShardedChunk (one device_put) and scatter it
+            shard-local; returns (dense P('data', None), (counts_d, col_d))
+            for index-stream reuse when input/target share the pattern."""
+            key = (c.n_cols, c.col.shape, c.counts.shape[1], scaled,
+                   str(c.col.dtype), str(c.val.dtype))
+            if key not in _flat_densifiers:
+                _flat_densifiers[key] = make_sharded_flat_densifier(
+                    mesh, c.n_cols, scaled
+                )
+            stack_sh = jax.sharding.NamedSharding(mesh, P("data", None))
+            if reuse is not None:
+                counts_d, col_d = reuse
+                val_d = jax.device_put(c.val, stack_sh)
+            else:
+                counts_d, col_d, val_d = jax.device_put(
+                    (c.counts, c.col, c.val), stack_sh
+                )
+            if scaled:
+                d = _flat_densifiers[key](counts_d, col_d, val_d,
+                                          sm_dev, ss_dev)
+            else:
+                d = _flat_densifiers[key](counts_d, col_d, val_d)
+            return d, (counts_d, col_d)
 
         def _put_rows(arr, even):
             """Row-partitioned host->mesh placement for a payload slab.
@@ -1104,8 +1142,51 @@ def _train_streaming(
                 return _densifiers[key](idx, dat, sm_dev, ss_dev), idx
             return _densifiers[key](idx, dat), idx
 
-        def _stage(xc, tc, sfc, global_rows):
+        def _stage(xc, tc, sfc, global_rows, m_part=None):
             even = global_rows % n_data_axis == 0
+
+            def _sf_dev(repl=False):
+                s = np.asarray(sfc, np.float32)
+                if jax.process_count() > 1:
+                    from ..parallel.multihost import host_local_to_global
+
+                    return host_local_to_global(
+                        mesh, P("data") if even and not repl else P(), s
+                    )
+                return jax.device_put(s, vsh if even and not repl else rsh)
+
+            # ship-one-payload under the mesh (single-process): densify the
+            # target row-sharded, derive the input elementwise on device —
+            # GSPMD keeps the derive shard-local (no collective)
+            if m_part is not None and xc is tc:
+                if isinstance(tc, FlatShardedChunk):
+                    td, _ = _flat_sharded_ship(tc, False)
+                elif isinstance(tc, SparseChunk):
+                    td, _ = _mesh_densify(tc, False, even)
+                else:
+                    td = _put_rows(np.asarray(tc, np.float32), even)
+                m_dev = jax.device_put(
+                    np.asarray(m_part, np.float32), vsh if even else rsh
+                )
+                xd = _derive_impl(td, m_dev, sm_dev, ss_dev)
+                return xd, td, _sf_dev()
+
+            if isinstance(xc, FlatShardedChunk) or isinstance(tc, FlatShardedChunk):
+                reuse = None
+                if isinstance(xc, FlatShardedChunk):
+                    xd, reuse = _flat_sharded_ship(xc, scale_mean is not None)
+                else:
+                    xd = _put_rows(np.asarray(xc, np.float32), even)
+                if isinstance(tc, FlatShardedChunk):
+                    shared = (isinstance(xc, FlatShardedChunk)
+                              and tc.col is xc.col)
+                    td, _ = _flat_sharded_ship(
+                        tc, False, reuse if shared else None
+                    )
+                else:
+                    td = _put_rows(np.asarray(tc, np.float32), even)
+                return xd, td, _sf_dev()
+
             if isinstance(xc, SparseChunk) or isinstance(tc, SparseChunk):
                 idx_dev = None
                 if isinstance(xc, SparseChunk):
@@ -1172,18 +1253,14 @@ def _train_streaming(
                 )
             return jnp.asarray(c)
 
-        _derive_fn = jax.jit(
-            lambda t, m, mu, sd_: (jnp.log1p(t * m[:, None]) - mu) / sd_
-        )
-
         def _stage(xc, tc, sfc, m_part=None):
             # ship-one-payload mode: the loader returned the TARGET for both
             # slots (xc is tc); densify it once and derive the normalized
             # input on device: x = (log1p(t * m_r) - mean) / std
             if m_part is not None and xc is tc:
                 td = _to_device(tc, False)
-                xd = _derive_fn(td, jnp.asarray(m_part, jnp.float32),
-                                sm_dev, ss_dev)
+                xd = _derive_impl(td, jnp.asarray(m_part, jnp.float32),
+                                  sm_dev, ss_dev)
                 return xd, td, jnp.asarray(sfc)
             # input chunks get the z-scale epilogue fused into the on-device
             # scatter (the loader defers host scaling in payload mode).
@@ -1275,9 +1352,12 @@ def _train_streaming(
                 idx_part = idx_part[lo:hi]
         else:
             g_rows = len(idx_part)
-        m = getattr(sd, "derive_m", None) if mesh is None else None
+        m = getattr(sd, "derive_m", None) if not multiproc else None
         m_part = m[idx_part] if m is not None else None
-        return sd.materialize(idx_part), g_rows, w_local, m_part
+        shards = (mesh.shape["data"]
+                  if mesh is not None and not multiproc else None)
+        return (sd.materialize(idx_part, mesh_shards=shards),
+                g_rows, w_local, m_part)
 
     def _ship(prep):
         """Device half of staging: upload + on-device densify."""
@@ -1290,7 +1370,7 @@ def _train_streaming(
 
             w = host_local_to_global(mesh, P("data"), w_local)
         if mesh is not None:
-            return (*_stage(*mats, g_rows), w)
+            return (*_stage(*mats, g_rows, m_part), w)
         if m_part is not None:
             return (*_stage(*mats, m_part), w)
         return (*_stage(*mats), w)

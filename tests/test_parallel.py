@@ -280,6 +280,81 @@ def test_sharded_densifier_output_sharding():
     np.testing.assert_allclose(np.asarray(out), X.toarray(), rtol=1e-6)
 
 
+def test_sharded_flat_densifier_matches_single_device():
+    """make_sharded_flat_densifier: per-shard flat payloads scatter into a
+    row-sharded dense chunk equal to the single-device flat scatter (and
+    the raw matrix), with the z-scale epilogue fused (VERDICT r4 item 2)."""
+    import scipy.sparse as sp
+
+    from dca_tpu.data.loader import StreamingData
+    from dca_tpu.ops.densify import make_sharded_flat_densifier
+    from dca_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(jax.devices())
+    S = mesh.shape["data"]
+    rs = np.random.RandomState(1)
+    X = sp.csr_matrix(rs.poisson(0.6, size=(64, 40)).astype(np.float32))
+    sd = StreamingData(X, X, np.ones(64, np.float32), 64,
+                       device_densify=True, payload_mode="flat")
+    c = sd._flat_sharded_component(X, np.arange(64), S)
+    assert c.counts.shape[0] == S and c.col.shape[0] == S
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stack_sh = NamedSharding(mesh, P("data", None))
+    fn = make_sharded_flat_densifier(mesh, 40, False)
+    out = fn(*jax.device_put((c.counts, c.col, c.val), stack_sh))
+    bsh = batch_sharding(mesh)
+    assert out.sharding.is_equivalent_to(bsh, out.ndim)
+    np.testing.assert_allclose(np.asarray(out), X.toarray(), rtol=1e-6)
+
+    # fused z-scale epilogue
+    mean = rs.normal(size=40).astype(np.float32)
+    std = rs.uniform(0.5, 2.0, size=40).astype(np.float32)
+    fn_s = make_sharded_flat_densifier(mesh, 40, True)
+    out_s = fn_s(*jax.device_put((c.counts, c.col, c.val), stack_sh),
+                 jnp.asarray(mean), jnp.asarray(std))
+    np.testing.assert_allclose(np.asarray(out_s),
+                               (X.toarray() - mean) / std, rtol=1e-5)
+
+
+def test_streaming_flat_and_derive_compose_with_mesh(monkeypatch):
+    """VERDICT r4 item 2 e2e: single-process mesh streaming with FLAT
+    payloads and ship-one-payload derive-input (odd row counts included)
+    matches the single-device trajectory."""
+    import scipy.sparse as sp
+
+    from dca_tpu.data import read_dataset, normalize
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.train import train
+
+    N, G = 61, 16  # odd N: rem/val parts don't divide the 4-wide data axis
+    rs = np.random.RandomState(11)
+    X = rs.poisson(2.5, size=(N, G)).astype(np.float32)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+
+    monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+    monkeypatch.setenv("DCA_TPU_PAYLOAD", "flat")
+
+    def fit(devices):
+        ad = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy())),
+                                    check_counts=False), lazy_scale=True)
+        net = _net(G=G, hidden=(8, 4, 8), ae_type="zinb-conddisp")
+        h = train(ad, net, epochs=2, batch_size=16, validation_split=0.3,
+                  verbose=False, seed=0, compiled=False, reduce_lr=0,
+                  early_stop=0, max_device_cells=32, devices=devices)
+        return h
+
+    h_mesh = fit(8)
+    h_one = fit(None)
+    np.testing.assert_allclose(h_mesh.history["loss"], h_one.history["loss"],
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(h_mesh.history["val_loss"],
+                               h_one.history["val_loss"], rtol=2e-3, atol=1e-4)
+
+
 def test_dca_devices_public_api():
     """dca(adata, devices=...) trains data-parallel on the 8-device mesh and
     honors the full side-effect contract."""
