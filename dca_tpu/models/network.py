@@ -836,7 +836,14 @@ class Autoencoder:
             raise ValueError("output_format='h5ad' needs mode 'denoise' or "
                              "'full' (X holds the denoised matrix)")
 
-        keys = list(self._PREDICT_KEYS[mode])
+        # DCA_TPU_WRITE_ALIASES=0 drops the README-era alias outputs
+        # (mean_norm.tsv / reduced.tsv / pi.tsv and the mean_norm h5ad
+        # layer) the reference code itself does not write — at corpus
+        # scale mean_norm alone doubles the (N, G) fetch that dominates
+        # the denoise leg.  Default on: full alias contract.
+        aliases = os.environ.get("DCA_TPU_WRITE_ALIASES", "1") != "0"
+        keys = [k for k in self._PREDICT_KEYS[mode]
+                if aliases or k != "mean_norm"]
         info_same_pass_disp = (return_info and lk == "zinb"
                                and disp_kind in ("conddisp", "shared"))
         info_pi = return_info and has_pi
@@ -875,18 +882,21 @@ class Autoencoder:
         if writer_rank and output_format == "tsv":
             if want_denoise:
                 writers["output"] = [_transposed("mean.tsv")]
-                writers["mean_norm"] = [_transposed("mean_norm.tsv")]
+                if aliases:
+                    writers["mean_norm"] = [_transposed("mean_norm.tsv")]
             if want_latent:
                 writers["latent"] = [
                     RowStreamTSV(os.path.join(file_path, f),
                                  rownames=rownames)
-                    for f in ("latent.tsv", "reduced.tsv")
+                    for f in (("latent.tsv", "reduced.tsv") if aliases
+                              else ("latent.tsv",))
                 ]
             if (info_same_pass_disp or info_post_disp) and disp_kind == "conddisp":
                 writers["disp"] = [_transposed("dispersion.tsv", header=False)]
             if info_pi and self.ae_type != "zinb-shared":
                 writers["pi"] = [_transposed(f, header=False)
-                                 for f in ("dropout.tsv", "pi.tsv")]
+                                 for f in (("dropout.tsv", "pi.tsv")
+                                           if aliases else ("dropout.tsv",))]
 
         H5_KEYS = {"output": "X", "latent": "X_dca",
                    "mean_norm": "X_dca_mean_norm",
@@ -965,7 +975,8 @@ class Autoencoder:
                             os.path.join(file_path, "dispersion.tsv"),
                             colnames=colnames, transpose=True)
                 for key, fnames in (("disp", ("dispersion.tsv",)),
-                                    ("pi", ("dropout.tsv", "pi.tsv"))):
+                                    ("pi", ("dropout.tsv", "pi.tsv")
+                                     if aliases else ("dropout.tsv",))):
                     if key in small_acc:
                         m = np.concatenate(small_acc[key], axis=0)
                         for f in fnames:

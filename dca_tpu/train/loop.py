@@ -171,6 +171,44 @@ class _FitCallbacks:
         return stop
 
 
+class _StreamTimeline:
+    """Opt-in (``DCA_TPU_TIMELINE=<path>``) wall-clock event log for
+    streaming epochs, one JSONL record per (epoch, part, stage) with
+    absolute perf_counter stamps — so the epoch decomposition SUMS to the
+    measured wall time instead of extrapolating from one probed part
+    (VERDICT r4 weak item 3).  Stages:
+
+      prep      host payload build                (prefetch thread)
+      ship      device upload + scatter dispatch  (prefetch thread 1-proc)
+      wait      main-thread block on the staged part (fut.result())
+      dispatch  main-thread jit dispatch of the part's scan/eval
+      fetch     epoch-end bulk loss fetch (the device sync point)
+      epoch     whole-epoch envelope
+
+    Main-thread time ≈ Σwait + Σdispatch + fetch + (unattributed gap);
+    the prefetch thread's prep/ship rows show what each wait was hiding.
+    Analyze with scripts/timeline_report.py."""
+
+    def __init__(self, path):
+        self.path = path
+        self.events = []
+        self.epoch = -1
+
+    def rec(self, part, kind, stage, t0, t1):
+        self.events.append((self.epoch, part, kind, stage, t0, t1))
+
+    def flush(self):
+        import json
+
+        with open(self.path, "a") as f:
+            for e, part, kind, stage, t0, t1 in self.events:
+                f.write(json.dumps(dict(
+                    epoch=e, part=part, kind=kind, stage=stage,
+                    t0=round(t0, 4), t1=round(t1, 4),
+                    dur=round(t1 - t0, 4))) + "\n")
+        self.events = []
+
+
 def _densify(X):
     if sp.issparse(X):
         return np.asarray(X.todense(), dtype=np.float32)
@@ -1391,24 +1429,53 @@ def _train_streaming(
 
         prefetch_pool = ThreadPoolExecutor(max_workers=1)
 
+    from time import perf_counter as _pc
+
+    tl_path = os.environ.get("DCA_TPU_TIMELINE")
+    tl = _StreamTimeline(tl_path) if tl_path else None
+
     def _staged(tasks):
         """Yield staged (x, t, sf, w) for (kind, sd, idx, ci) tasks, staging
         one task ahead on the prefetch thread when enabled."""
         if prefetch_pool is None:
-            for kind, sd, idx, _ in tasks:
-                yield stage_part(sd, idx, kind=kind)
+            for pi, (kind, sd, idx, _) in enumerate(tasks):
+                t0 = _pc()
+                out = stage_part(sd, idx, kind=kind)
+                if tl is not None:
+                    tl.rec(pi, kind, "wait", t0, _pc())
+                yield out
             return
-        work = (_prepare if multiproc else
-                (lambda sd, idx, kind: _ship(_prepare(sd, idx, kind))))
+
+        def work(pi, kind, sd, idx):
+            t0 = _pc()
+            p = _prepare(sd, idx, kind)
+            t1 = _pc()
+            if tl is not None:
+                tl.rec(pi, kind, "prep", t0, t1)
+            if multiproc:
+                return p  # JAX-free half only; main thread ships
+            out = _ship(p)
+            if tl is not None:
+                tl.rec(pi, kind, "ship", t1, _pc())
+            return out
+
         finish = _ship if multiproc else (lambda r: r)
-        fut = None
-        for kind, sd, idx, _ in tasks:
-            nxt = prefetch_pool.submit(work, sd, idx, kind)
+        fut = prev = None
+        for pi, (kind, sd, idx, _) in enumerate(tasks):
+            nxt = prefetch_pool.submit(work, pi, kind, sd, idx)
             if fut is not None:
-                yield finish(fut.result())
-            fut = nxt
+                t0 = _pc()
+                out = finish(fut.result())
+                if tl is not None:
+                    tl.rec(prev[0], prev[1], "wait", t0, _pc())
+                yield out
+            fut, prev = nxt, (pi, kind)
         if fut is not None:
-            yield finish(fut.result())
+            t0 = _pc()
+            out = finish(fut.result())
+            if tl is not None:
+                tl.rec(prev[0], prev[1], "wait", t0, _pc())
+            yield out
 
     rng_np = np.random.RandomState(seed)
     base_rng = jax.random.PRNGKey(seed)
@@ -1472,11 +1539,17 @@ def _train_streaming(
         # epoch end: a float(s) after every part costs a host round trip
         # (tunnel latency drifts 40-400 ms per call) and stalls the
         # dispatch pipeline the prefetcher exists to keep full
+        if tl is not None:
+            tl.epoch = epoch
+            ep_t0 = _pc()
         part_losses, val_losses = [], []
         vn = 0
         grad_src = last_train = None
-        for (kind, _, idx, ci_k), staged in zip(tasks, _staged(tasks)):
+        for pi, ((kind, _, idx, ci_k), staged) in enumerate(
+            zip(tasks, _staged(tasks))
+        ):
             xcs, tcs, sfcs, wcs = staged
+            d_t0 = _pc() if tl is not None else None
             if kind == "full":
                 params, state, opt_state, s = chunk_fn(
                     params, state, opt_state, xcs, tcs, sfcs, lr_arr,
@@ -1505,8 +1578,16 @@ def _train_streaming(
                     val_losses.append(
                         eval_chunk_w(params, state, xcs, sfcs, tcs, wcs))
                 vn += len(idx)
+            if tl is not None:
+                tl.rec(pi, kind, "dispatch", d_t0, _pc())
 
+        f_t0 = _pc() if tl is not None else None
         fetched = np.asarray(jnp.stack(part_losses + val_losses))
+        if tl is not None:
+            now = _pc()
+            tl.rec(-1, "", "fetch", f_t0, now)
+            tl.rec(-1, "", "epoch", ep_t0, now)
+            tl.flush()
         total = float(fetched[: len(part_losses)].sum())
         vtot = float(fetched[len(part_losses):].sum())
 

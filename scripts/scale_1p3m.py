@@ -152,6 +152,27 @@ def main():
             + ("  [warm/compile]" if e == 0 else ""))
 
     steady = float(np.median(times[1:])) if len(times) > 1 else times[0]
+
+    # ---- denoise + write leg (VERDICT r4 item 1: the reference's actual
+    # deliverable is the WRITTEN matrix, train.py:190-191).  WRITE=h5ad
+    # streams X/mean_norm/latent into one chunked denoised.h5ad;
+    # WRITE=tsv streams the reference TSV contract (mind the disk: the
+    # transposed mean.tsv alone is ~40 GB at 1.3M x 3451).
+    write_fmt = os.environ.get("WRITE", "")
+    write_s = None
+    if write_fmt:
+        outdir = os.environ.get("WRITE_DIR", os.path.join(CACHE, "out_1p3m"))
+        mode = os.environ.get("WRITE_MODE", "full")
+        t0 = time.time()
+        net.write_streaming(ad, outdir, mode=mode, output_format=write_fmt)
+        write_s = time.time() - t0
+        import glob as _glob
+
+        sizes = {os.path.basename(p): os.path.getsize(p)
+                 for p in _glob.glob(os.path.join(outdir, "*"))}
+        log(f"denoise+write[{write_fmt},{mode}]: {write_s:.1f}s "
+            f"({n_cells / write_s:.0f} cells/s) files={sizes}")
+
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     log(
         "RESULT "
@@ -161,6 +182,9 @@ def main():
                 n_genes=N_GENES,
                 epoch_seconds=round(steady, 1),
                 cells_per_sec=round(n_cells / steady, 1),
+                denoise_write_seconds=(round(write_s, 1)
+                                       if write_s is not None else None),
+                write_format=write_fmt or None,
                 peak_host_rss_gb=round(rss_gb, 1),
                 epochs_measured=len(times) - 1,
                 batch_size=batch,
