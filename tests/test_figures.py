@@ -30,6 +30,42 @@ def test_figure5_de_foldchange_preserved():
 
 
 @pytest.mark.slow
+def test_figure8_nk_subtype_mclust_recovers_protein_split():
+    """Mixture clustering of the IMPUTED marker transcripts must recover
+    the protein-defined NK-subtype split that the raw transcripts miss
+    (Figure8.R:28-40: Mclust on CITE vs original vs imputed + fisher.test)."""
+    from nk_subtype_mclust import run_evaluation
+
+    acc_o, p_o, acc_d, p_d = run_evaluation(
+        n_cells=400, n_genes=100, epochs=80, verbose=False
+    )
+    assert acc_d > acc_o + 0.05, (acc_o, acc_d)
+    assert acc_d > 0.9, acc_d
+    assert p_d < 1e-6, p_d
+    assert p_d < p_o, (p_o, p_d)
+
+
+@pytest.mark.slow
+def test_figure9_pseudotime_branching_metrics():
+    """The Paul15 workflow's claims on a simulated two-branch trajectory
+    (Figure9.ipynb cells 3-20): denoising strengthens the Gata1/Pu.1
+    anti-correlation, sharpens the lineage-module structure, imputes
+    anti-correlated values into double-zero cells, and supports the
+    diffusion-pseudotime workflow."""
+    from pseudotime_branching import run_evaluation
+
+    res = run_evaluation(n_cells=500, n_genes=100, epochs=100,
+                         verbose=False)
+    assert res["anti_dca"] < res["anti_raw"] - 0.05, res
+    assert res["anti_dca"] < -0.4, res
+    assert res["contrast_dca"] > res["contrast_raw"] + 0.1, res
+    assert res["n_double_zero"] >= 10, res
+    assert res["anti_double_zero"] < -0.15, res
+    assert res["dpt_spearman_dca"] > 0.75, res
+    assert res["dpt_spearman_dca"] > res["dpt_spearman_raw"] - 0.05, res
+
+
+@pytest.mark.slow
 def test_figure6_protein_rna_spearman_improves():
     """Denoising must RAISE the per-marker Spearman correlation between
     RNA and its matched protein (Figure6.R:66-75 panel D)."""
