@@ -139,10 +139,13 @@ class TransposedSpillTSV:
     def _auto_strip(self):
         if self.strip_rows is not None:
             return self.strip_rows
-        # ~512 MB strips: wide-N corpora stream in a few dozen passes while
-        # small matrices finish in one
+        # budget covers the strip's TEXT format buffer (the native
+        # formatter's worst case is ~49 bytes/value), not just its f32
+        # payload — a float-sized budget let a 512 MB strip allocate a
+        # ~6 GB format buffer per pass at 50k cells (round-5 OOM note in
+        # native.format_matrix)
         budget = int(os.environ.get("DCA_TPU_WRITE_STRIP_BYTES", 512_000_000))
-        return max(1, min(self.G, budget // (4 * max(self.n_cols_out, 1))))
+        return max(1, min(self.G, budget // (49 * max(self.n_cols_out, 1))))
 
     def close(self):
         d = os.path.dirname(os.path.abspath(self.filename)) or "."

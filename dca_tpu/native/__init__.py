@@ -277,16 +277,21 @@ def format_matrix(matrix, rownames=None, colnames=None, sep="\t"):
         name_bytes = 0
 
     cap = n_rows * (n_cols * 49 + 2) + name_bytes + n_rows * 2 + 64
-    out = (ctypes.c_char * cap)()
+    # numpy-backed buffer, NOT a ctypes array: glibc reliably munmaps
+    # numpy's large allocations, while multi-GB `(c_char * cap)()` arrays
+    # interleaved with other allocations were measured to stay RESIDENT
+    # after del — the round-5 50k x 28k TSV write accumulated one ~6 GB
+    # worst-case buffer per gene strip until the OOM killer fired at
+    # 130 GB anon RSS (docs/benchmarks.md round 5)
+    out = np.empty(cap, np.uint8)
     written = lib.dca_format_rows(
         _ptr(X, lib.dca_format_rows.argtypes[0]),
-        n_rows, n_cols, blob, no_p, nl_p, sep_b, out, cap,
+        n_rows, n_cols, blob, no_p, nl_p, sep_b,
+        out.ctypes.data_as(ctypes.c_char_p), cap,
     )
     if written < 0:
         return None
-    return _header_bytes(rownames, colnames, sep) + bytes(
-        ctypes.cast(out, ctypes.POINTER(ctypes.c_char * written)).contents
-    )
+    return _header_bytes(rownames, colnames, sep) + out[:written].tobytes()
 
 
 def write_matrix(matrix, filename, rownames=None, colnames=None, sep="\t"):
