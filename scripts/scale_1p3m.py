@@ -136,20 +136,42 @@ def main():
     net = AE_types["nb-conddisp"](input_size=ad.n_vars, seed=0)
     net.build()
 
-    times = []
-    for e in range(epochs):
-        net_e = net  # same params object; each call re-inits the optimizer,
-        # which is fine for throughput: the program set is identical
+    # ONE multi-epoch train call (round-5 change): the old per-epoch
+    # train(epochs=1) loop re-paid ~30 s of per-call setup every "epoch"
+    # (StreamingData init incl. the 450M-nnz pattern compare, derive-m
+    # verification, optimizer init/placement) — the timeline showed the
+    # steady in-loop epoch at ~65 s while the per-call measure read ~95 s.
+    # Per-epoch walls come from a lightweight epoch-boundary probe.
+    epoch_marks = [time.time()]
+
+    class _EpochTimer:
+        def __init__(self):
+            self.history = {}
+
+        def append(self, key, value):
+            self.history.setdefault(key, []).append(float(value))
+            if key == "loss":
+                epoch_marks.append(time.time())
+
+    import dca_tpu.train.loop as _loop
+
+    _orig_hist = _loop.History
+    _loop.History = _EpochTimer
+    try:
         t0 = time.time()
         train(
-            ad, net_e, epochs=1, early_stop=0, reduce_lr=0,
-            validation_split=0.0, verbose=False, seed=e,
+            ad, net, epochs=epochs, early_stop=0, reduce_lr=0,
+            validation_split=0.0, verbose=False, seed=0,
             max_device_cells=131072, batch_size=batch, learning_rate=lr,
         )
-        dt = time.time() - t0
-        times.append(dt)
+        total = time.time() - t0
+    finally:
+        _loop.History = _orig_hist
+    times = [epoch_marks[i + 1] - epoch_marks[i] for i in range(epochs)]
+    times[0] += total - (epoch_marks[-1] - epoch_marks[0])  # setup -> warm
+    for e, dt in enumerate(times):
         log(f"epoch {e}: {dt:.1f}s  ({n_cells / dt:.0f} cells/s)"
-            + ("  [warm/compile]" if e == 0 else ""))
+            + ("  [warm/compile+setup]" if e == 0 else ""))
 
     steady = float(np.median(times[1:])) if len(times) > 1 else times[0]
 
