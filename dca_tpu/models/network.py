@@ -328,15 +328,27 @@ class Autoencoder:
         if size_factors is None:
             size_factors = np.ones((n,), np.float32)
         size_factors = np.asarray(size_factors, np.float32)
+        # one jitted forward PER KEYS TUPLE (cached; `_predict_jit = None`
+        # elsewhere is the invalidation idiom): returning only the
+        # requested outputs lets XLA dead-code-eliminate the unused
+        # G-wide head matmuls AND skips materializing their (B, G) HBM
+        # outputs — a denoise fetches 1-2 of the 6 heads, so the corpus
+        # predict otherwise pays ~3x the HBM traffic for nothing
         if self._predict_jit is None:
+            self._predict_jit = {}
+        kt = tuple(keys) if keys is not None else None
+        _fwd = self._predict_jit.get(kt)
+        if _fwd is None:
             definition = self.definition
 
             @jax.jit
             def _fwd(params, state, x, sf):
                 out, _ = core.apply(definition, params, state, x, sf, training=False)
-                return out
+                if kt is None:
+                    return out
+                return {k: out[k] for k in kt}
 
-            self._predict_jit = _fwd
+            self._predict_jit[kt] = _fwd
 
         # CSR input + TPU: ship O(nnz) flat payloads and densify on device
         # with the z-scale fused (same tier the streaming trainer uses) —
@@ -376,11 +388,7 @@ class Autoencoder:
                                         count.shape[1], scale_mean, scale_std)
             else:
                 x = prepped
-            out = self._predict_jit(self.params, self.state, x,
-                                    size_factors[lo:hi])
-            if keys is not None:
-                out = {k: out[k] for k in keys}
-            return out
+            return _fwd(self.params, self.state, x, size_factors[lo:hi])
 
         def fetch(out):
             return {k: _gathered_numpy(v, allow_downcast=True)

@@ -244,3 +244,19 @@ del os.environ["DCA_TPU_FUSED_LOSS"]
 
 mhu.sync_global_devices("phase5-done")
 print(f"RANK{rank} PHASE5DONE", flush=True)
+
+# ---- phase 6: streaming denoise->write on the mesh (round 5).  Every
+# process iterates the forward blocks (the output gather is collective,
+# incl. the NB-conddisp post-denoise dispersion re-forward); only rank 0
+# touches the files.  The test compares the written TSVs numerically
+# against a single-process write_streaming oracle.
+ad6 = _adata5(counts5.copy())
+net6 = AE_types["nb-conddisp"](input_size=G, hidden_size=(8, 4, 8), seed=4)
+net6.build()
+train(ad6, net6, epochs=1, batch_size=16, validation_split=0.0,
+      verbose=False, seed=0, devices=jax.devices(), compiled=False,
+      reduce_lr=0, early_stop=0)
+net6.write_streaming(ad6, os.path.join(outdir, "stream6"), mode="full",
+                     return_info=True)
+mhu.sync_global_devices("phase6-done")
+print(f"RANK{rank} PHASE6DONE", flush=True)

@@ -131,6 +131,12 @@ def test_two_process_mesh_end_to_end(tmp_path):
     # phase 5: indivisible row counts (auto-padding)
     _assert_phase5(outs)
 
+    # phase 6: streaming denoise->write over the process group (rank-0
+    # writers, collective block gathers incl. the NB-conddisp post-denoise
+    # dispersion re-forward) — files numerically match a single-process
+    # write_streaming on the same data/seed
+    _assert_phase6(outs, str(tmp_path))
+
 
 def _reference_streaming_hist():
     """Phase-3 oracle: single-process STREAMING run, same data/config."""
@@ -275,6 +281,54 @@ def _phase5_oracles():
     finally:
         del os.environ["DCA_TPU_DEVICE_DENSIFY"]
     return dense, stream, payload
+
+
+def _assert_phase6(outs, outdir):
+    import pandas as pd
+
+    from dca_tpu.data import normalize, read_dataset
+    from dca_tpu.data.adata import AnnData
+    from dca_tpu.models import AE_types
+    from dca_tpu.train import train
+
+    for rank, out in enumerate(outs):
+        assert f"RANK{rank} PHASE6DONE" in out, out
+    stream_dir = os.path.join(outdir, "stream6")
+    for f in ("mean.tsv", "mean_norm.tsv", "latent.tsv", "reduced.tsv",
+              "dispersion.tsv"):
+        assert os.path.exists(os.path.join(stream_dir, f)), f
+
+    # single-process oracle: identical data/seed/protocol, streamed write
+    N, G = 64, 16
+    rs2 = np.random.RandomState(11)
+    counts = rs2.poisson(2.5, size=(N, G)).astype(np.float32)
+    counts[:, 0] += 1
+    counts[0, :] += 1
+    counts5 = counts[:61].copy()
+    counts5[:, 0] += 1
+    counts5[0, :] += 1
+    ad = normalize(read_dataset(AnnData(
+        counts5,
+        pd.DataFrame(index=pd.Index([f"c{i}" for i in range(61)])),
+        pd.DataFrame(index=pd.Index([f"g{i}" for i in range(16)])),
+    ), check_counts=False))
+    net = AE_types["nb-conddisp"](input_size=16, hidden_size=(8, 4, 8),
+                                  seed=4)
+    net.build()
+    train(ad, net, epochs=1, batch_size=16, validation_split=0.0,
+          verbose=False, seed=0, compiled=False, reduce_lr=0, early_stop=0)
+    ref_dir = os.path.join(outdir, "stream6_ref")
+    net.write_streaming(ad, ref_dir, mode="full", return_info=True)
+
+    for f, header in (("mean.tsv", 0), ("mean_norm.tsv", 0),
+                      ("latent.tsv", None), ("dispersion.tsv", None)):
+        a = pd.read_csv(os.path.join(ref_dir, f), sep="\t", index_col=0,
+                        header=header)
+        b = pd.read_csv(os.path.join(stream_dir, f), sep="\t", index_col=0,
+                        header=header)
+        assert a.shape == b.shape, f
+        np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=2e-3,
+                                   atol=1e-4, err_msg=f)
 
 
 def _assert_phase5(outs):
