@@ -90,6 +90,27 @@ def test_streaming_training_matches_dense_path():
     )
 
 
+def test_prefetch_depth_is_trajectory_invariant(monkeypatch):
+    """DCA_TPU_PREFETCH is a pure pipeline knob: depth 0 (serial), 1
+    (double-buffer) and 3 (deep queue) must produce IDENTICAL loss
+    trajectories — staging order and RNG folding do not depend on it."""
+    X = make_counts(150, 14, seed=36)
+    ad = normalize(read_dataset(AnnData(X)))
+
+    def fit(depth):
+        monkeypatch.setenv("DCA_TPU_PREFETCH", depth)
+        net = AE_types["nb-conddisp"](input_size=14, hidden_size=(8, 4, 8),
+                                      seed=1)
+        net.build()
+        return train(ad, net, epochs=3, verbose=False, seed=5,
+                     max_device_cells=48).history
+
+    h0, h1, h3 = fit("0"), fit("1"), fit("3")
+    np.testing.assert_allclose(h1["loss"], h0["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h3["loss"], h0["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h3["val_loss"], h0["val_loss"], rtol=1e-6)
+
+
 def test_streaming_sparse_end_to_end():
     X = make_counts(120, 12, seed=35)
     X[X < 2] = 0
