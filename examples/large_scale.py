@@ -15,6 +15,11 @@ Demonstrates the subsystems the reference lacks, composed the way a real
     1.3M×3451 in docs/benchmarks.md: 569.7 → 170.2 s/epoch);
   * crash-safe checkpointing (``checkpoint_every``/``resume``) of the FULL
     train state;
+  * the streaming denoise→write leg — the pipeline's actual PRODUCT
+    (reference train.py:190-191): ``write_streaming`` streams blocks from
+    the pipelined chunked predict into an incrementally-written
+    ``denoised.h5ad`` (or the exact TSV contract with
+    ``output_format='tsv'``) so no (N, G) output ever sits in host RAM;
   * multi-chip: pass ``devices='all'`` to shard cells over a data mesh (on a
     multi-host pod each process feeds its ``multihost.process_row_range``
     row shard through the same entry points, docs/parallelism.md).
@@ -86,6 +91,17 @@ def main():
     print(f"trained {len(hist.history['loss'])} epochs in {dt:.1f}s "
           f"({n_cells / per_epoch:,.0f} cells/s/epoch)")
     print("resume after a crash with: train(..., resume=True)")
+
+    # ---- the deliverable: denoised matrix, streamed to disk ----------
+    # h5ad: one chunked binary file (X = denoised, obsm X_dca latent);
+    # at this scale the transposed TSV contract would be tens of GB of
+    # text — pass output_format='tsv' if you need it anyway.
+    t0 = time.perf_counter()
+    net.write_streaming(ad, "large_scale_out", mode="full",
+                        output_format="h5ad")
+    print(f"denoised + wrote large_scale_out/denoised.h5ad in "
+          f"{time.perf_counter() - t0:.1f}s "
+          f"({os.path.getsize('large_scale_out/denoised.h5ad') / 1e9:.1f} GB)")
 
 
 if __name__ == "__main__":
