@@ -34,6 +34,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# corpus default: deep staging queue — the depth ladder measured 29.0 s
+# steady epochs at depth 3 vs 88.6 s at depth 1 (docs/benchmarks.md);
+# ~3.6 GB HBM per staged 131k-row part, 4 in flight fits v5e
+os.environ.setdefault("DCA_TPU_PREFETCH", "3")
+
 N_CELLS = int(os.environ.get("N_CELLS", 1_300_000))
 N_GENES = 3451  # Paul15 / Figure9 gene panel width
 CACHE = "/root/repo/.scale_cache"
