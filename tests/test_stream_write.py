@@ -250,3 +250,38 @@ def test_cli_streaming_write_matches_in_memory(tmp_path, monkeypatch):
     run(str(tmp_path / "stream"), DCA_TPU_HOST_DENSE_BYTES="1")
     _files_equal(str(tmp_path / "mem"), str(tmp_path / "stream"),
                  EXPECT["nb-conddisp"])
+
+
+def test_cli_outputformat_h5ad(tmp_path):
+    """--outputformat h5ad writes denoised.h5ad whose X matches the TSV
+    run's mean matrix (same seed/training)."""
+    import subprocess
+    import sys
+
+    from dca_tpu.data.adata import read_h5ad
+
+    c = _counts(48, 12, seed=19)
+    tsv = str(tmp_path / "counts.tsv")
+    pd.DataFrame(c.T.astype(int),
+                 index=[f"g{i}" for i in range(12)],
+                 columns=[f"c{i}" for i in range(48)]).to_csv(tsv, sep="\t")
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    env.pop("XLA_FLAGS", None)
+
+    def run(outdir, *extra):
+        subprocess.run(
+            [sys.executable, "-m", "dca_tpu", tsv, outdir, "-e", "2",
+             "-s", "8,4,8", "--type", "zinb-conddisp", *extra],
+            env=env, check=True, capture_output=True)
+
+    run(str(tmp_path / "tsv"))
+    run(str(tmp_path / "h5"), "--outputformat", "h5ad")
+    back = read_h5ad(str(tmp_path / "h5" / "denoised.h5ad"))
+    mean = pd.read_csv(os.path.join(str(tmp_path / "tsv"), "mean.tsv"),
+                       sep="\t", index_col=0).to_numpy().T  # gene x cell -> cell x gene
+    np.testing.assert_allclose(np.asarray(back.X), mean, rtol=1e-4,
+                               atol=2e-6)
+    assert "X_dca" in back.obsm and "X_dca_dropout" in back.obsm
