@@ -36,13 +36,11 @@ import pandas as pd
 
 
 def _header_bytes(rownames, colnames, sep="\t"):
-    """Header line exactly as pandas to_csv(header=...) emits it."""
-    if colnames is None:
-        return b""
-    head = (sep if rownames is not None else "") + sep.join(
-        str(c) for c in colnames
-    ) + "\n"
-    return head.encode()
+    """Header line exactly as pandas to_csv(header=...) emits it
+    (shared with the native formatter — one copy of the parity logic)."""
+    from ..native import _header_bytes as impl
+
+    return impl(rownames, colnames, sep)
 
 
 def _format_rows(matrix, rownames, sep="\t"):
@@ -145,14 +143,21 @@ class TransposedSpillTSV:
         # ~6 GB format buffer per pass at 50k cells (round-5 OOM note in
         # native.format_matrix)
         budget = int(os.environ.get("DCA_TPU_WRITE_STRIP_BYTES", 512_000_000))
-        return max(1, min(self.G, budget // (49 * max(self.n_cols_out, 1))))
+        return max(1, min(self.G or 1,
+                          budget // (49 * max(self.n_cols_out, 1))))
 
     def close(self):
-        d = os.path.dirname(os.path.abspath(self.filename)) or "."
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        # anything that can raise before the output fd exists runs first,
+        # so a failure here cannot leak the mkstemp descriptor
         try:
             self._spill.flush()
             strip = self._auto_strip()
+        except BaseException:
+            self.abort_spill()
+            raise
+        d = os.path.dirname(os.path.abspath(self.filename)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
             with os.fdopen(fd, "wb") as out:
                 out.write(_header_bytes(self.rownames, self.colnames,
                                         self.sep))
@@ -256,11 +261,6 @@ class H5ADStreamWriter:
         order = list(self._f["var"].attrs.get("column-order", []))
         order.append(key)
         self._f["var"].attrs["column-order"] = np.asarray(order, dtype="S")
-
-    def set_uns(self, key, value):
-        if "uns" not in self._f:
-            self._f.create_group("uns")
-        self._f["uns"].create_dataset(key, data=np.asarray(value))
 
     def close(self):
         self._f.close()

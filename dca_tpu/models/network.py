@@ -866,6 +866,16 @@ class Autoencoder:
         writer_rank = _is_writer()
         writers = {}       # key -> incremental writer
         small_acc = {}     # key -> list of small (B, 1) blocks
+        # *-shared heads emit (N, 1) outputs; route those by ARCH (the
+        # built head widths), never by runtime block shape — a genuinely
+        # width-1 wide output (e.g. a size-1 bottleneck latent) must still
+        # reach its streaming writers
+        heads = self.definition.heads
+        small_keys = set()
+        if "dispersion" in heads and heads["dispersion"].units == 1:
+            small_keys.add("disp")
+        if "pi" in heads and heads["pi"].units == 1:
+            small_keys.add("pi")
         h5 = None
         print("dca_tpu: Saving output(s)... [streaming]")
         if writer_rank:
@@ -901,7 +911,7 @@ class Autoencoder:
                 ]
             if (info_same_pass_disp or info_post_disp) and disp_kind == "conddisp":
                 writers["disp"] = [_transposed("dispersion.tsv", header=False)]
-            if info_pi and self.ae_type != "zinb-shared":
+            if info_pi and "pi" not in small_keys:
                 writers["pi"] = [_transposed(f, header=False)
                                  for f in (("dropout.tsv", "pi.tsv")
                                            if aliases else ("dropout.tsv",))]
@@ -912,7 +922,7 @@ class Autoencoder:
 
         def _sink(key, block):
             """Route one block of one output to its writers/accumulators."""
-            if block.ndim == 2 and block.shape[1] == 1:
+            if key in small_keys:
                 # *-shared heads: (N, 1) totals are tiny — accumulate and
                 # write once at the end via the non-streaming writer, so
                 # behavior (incl. its quirks) matches write() exactly
@@ -938,8 +948,13 @@ class Autoencoder:
                 if latent_acc is not None:
                     latent_acc.append(out["latent"])
                 if info_post_disp:
-                    # NB-conddisp quirk: dispersion from the DENOISED matrix
-                    # (network.py:318-328) — feed the block straight back
+                    # NB-conddisp quirk: dispersion computed AFTER denoising,
+                    # from the current adata.X (network.py:318-328).  When the
+                    # output is full-width, X would have been overwritten by
+                    # the denoised block — feed it straight back; on a
+                    # denoise-subset run _set_denoised leaves X untouched
+                    # (width mismatch), so feed the ORIGINAL input block
+                    # unscaled, exactly as the in-memory quirk does
                     if post_jit is None:
                         definition = self.definition
 
@@ -949,9 +964,14 @@ class Autoencoder:
                                               x, sfb, training=False)
                             return o["disp"]
 
+                    if out["output"].shape[1] == self.input_size:
+                        x_post = jnp.asarray(out["output"])
+                    else:
+                        xb = adata.X[lo:hi]
+                        xb = xb.toarray() if hasattr(xb, "toarray") else xb
+                        x_post = jnp.asarray(np.asarray(xb, np.float32))
                     d = _gathered_numpy(
-                        post_jit(self.params, self.state,
-                                 jnp.asarray(out["output"]), sf[lo:hi]),
+                        post_jit(self.params, self.state, x_post, sf[lo:hi]),
                         allow_downcast=True)
                     _sink("disp", d)
         except BaseException:

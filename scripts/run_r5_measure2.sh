@@ -26,7 +26,7 @@ TRIALS=10 HYPEREPOCH=20 timeout 5400 python scripts/hyper_pipeline_ab.py 2>&1
 
 echo "=== bench warm + bench $(date) ==="
 timeout 3600 python bench.py 2>&1 | tail -5
-timeout 3600 python bench.py 2>bench_stderr.log | tail -3
-tail -6 bench_stderr.log
+timeout 3600 python bench.py 2>.bench_logs/bench_stderr.log | tail -3
+tail -6 .bench_logs/bench_stderr.log
 
 echo "=== DONE2 $(date) ==="

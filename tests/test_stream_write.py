@@ -150,6 +150,75 @@ def test_streaming_shared_heads(tmp_path):
                  ["mean.tsv", "mean_norm.tsv", "latent.tsv", "reduced.tsv"])
 
 
+def test_streaming_elempi_sharedpi(tmp_path):
+    """zinb-elempi with sharedpi=True has a (N, 1) pi head: it must route
+    through the small-output accumulator (not a zero-append transposed
+    writer, which used to TypeError at close) and match the in-memory
+    writer byte for byte."""
+    ad_ref = _prepped(60, 18, seed=21)
+    ad_stream = _prepped(60, 18, seed=21)
+    net = AE_types["zinb-elempi"](input_size=18, hidden_size=(8, 4, 8),
+                                  seed=0, sharedpi=True)
+    net.build()
+    ref_dir, stream_dir = str(tmp_path / "ref"), str(tmp_path / "stream")
+    net.predict(ad_ref, mode="full", return_info=True)
+    net.write(ad_ref, ref_dir, mode="full")
+    net.write_streaming(ad_stream, stream_dir, mode="full",
+                        return_info=True)
+    _files_equal(ref_dir, stream_dir,
+                 ["mean.tsv", "mean_norm.tsv", "latent.tsv", "reduced.tsv",
+                  "dispersion.tsv", "dropout.tsv", "pi.tsv"])
+
+
+def test_streaming_width1_latent(tmp_path):
+    """A size-1 bottleneck produces (N, 1) latent blocks; routing is by
+    key (arch head widths), so they must still reach latent.tsv/reduced.tsv
+    and the h5ad X_dca layer instead of being diverted as a 'shared' head."""
+    ad_ref = _prepped(50, 15, seed=23)
+    ad_stream = _prepped(50, 15, seed=23)
+    net = AE_types["zinb-conddisp"](input_size=15, hidden_size=(8, 1, 8),
+                                    seed=0)
+    net.build()
+    ref_dir, stream_dir = str(tmp_path / "ref"), str(tmp_path / "stream")
+    net.predict(ad_ref, mode="full", return_info=True)
+    net.write(ad_ref, ref_dir, mode="full")
+    net.write_streaming(ad_stream, stream_dir, mode="full",
+                        return_info=True)
+    _files_equal(ref_dir, stream_dir, EXPECT["zinb-conddisp"])
+    assert os.path.getsize(os.path.join(stream_dir, "latent.tsv")) > 0
+
+    ad_h5 = _prepped(50, 15, seed=23)
+    net.write_streaming(ad_h5, str(tmp_path / "h5"), mode="full",
+                        return_info=True, output_format="h5ad")
+    from dca_tpu.data.adata import read_h5ad
+
+    back = read_h5ad(str(tmp_path / "h5" / "denoised.h5ad"))
+    assert back.obsm["X_dca"].shape == (50, 1)
+    np.testing.assert_allclose(back.obsm["X_dca"], ad_ref.obsm["X_dca"],
+                               rtol=1e-6)
+
+
+def test_streaming_denoise_subset_post_disp(tmp_path):
+    """nb-conddisp with output_size < input_size (--denoisesubset): the
+    post-denoise dispersion quirk must feed the ORIGINAL input block (the
+    in-memory path's adata.X, untouched on subsets) — not the narrow
+    denoised block, which used to crash the re-forward — and match the
+    in-memory writer."""
+    g, k = 20, 7
+    ad_ref = _prepped(60, g, seed=25)
+    ad_stream = _prepped(60, g, seed=25)
+    net = AE_types["nb-conddisp"](input_size=g, output_size=k,
+                                  hidden_size=(8, 4, 8), seed=0)
+    net.build()
+    sub_cols = ad_ref.var_names.values[:k]
+    ref_dir, stream_dir = str(tmp_path / "ref"), str(tmp_path / "stream")
+    net.predict(ad_ref, mode="full", return_info=True)
+    net.write(ad_ref, ref_dir, mode="full", colnames=sub_cols)
+    net.write_streaming(ad_stream, stream_dir, mode="full",
+                        return_info=True, colnames=sub_cols)
+    _files_equal(ref_dir, stream_dir, EXPECT["nb-conddisp"])
+
+
 def test_streaming_latent_mode(tmp_path):
     ad_ref = _prepped(50, 15, seed=9)
     ad_stream = _prepped(50, 15, seed=9)
