@@ -1029,6 +1029,31 @@ def _train_streaming(
         va.derive_m = m_va
     n_train = split_at
 
+    # device-RESIDENT corpus (ops/resident.py): when the compressed CSR
+    # payload fits HBM, upload it ONCE and rebuild every shuffled part on
+    # device — zero per-epoch payload transfer (only the ~4 B/cell row ids
+    # cross the link, vs ~4 B/nonzero of payload per epoch on the wire
+    # path).  Auto-engages for corpus-scale single-device runs in the
+    # ship-one-payload configuration (m_tr verified); DCA_TPU_RESIDENT=1/0
+    # forces on/off, DCA_TPU_RESIDENT_BYTES caps the HBM budget and
+    # DCA_TPU_RESIDENT_MIN_BYTES keeps small runs on the simpler path.
+    resident = None
+    if m_tr is not None and mesh is None and sp.isspmatrix_csr(target):
+        from ..ops.resident import ResidentCSR
+
+        _rmode = os.environ.get("DCA_TPU_RESIDENT", "auto")
+        _rlo = int(os.environ.get("DCA_TPU_RESIDENT_MIN_BYTES", 64_000_000))
+        _rhi = int(os.environ.get("DCA_TPU_RESIDENT_BYTES", 4_000_000_000))
+        _rest = ResidentCSR.payload_bytes(target)
+        if _rmode == "1" or (_rmode != "0" and _rlo <= _rest <= _rhi):
+            m_full = np.concatenate([m_tr, m_va]) if has_val else m_tr
+            resident = ResidentCSR(target, m_full,
+                                   np.asarray(sf, np.float32),
+                                   scale_mean, scale_std)
+            if verbose:
+                print(f"dca_tpu: corpus resident on device "
+                      f"({_rest / 1e6:.0f} MB payload) [streaming]")
+
     loss_fn = network.loss_fn
     debug = bool(getattr(network.definition, "debug", False))
     constrain_batch = _batch_constrainer(mesh)
@@ -1430,6 +1455,8 @@ def _train_streaming(
     prefetch_pool = None
     _pf = os.environ.get("DCA_TPU_PREFETCH", "1")
     prefetch_depth = max(int(_pf) if _pf.isdigit() else 1, 0)
+    if resident is not None:
+        prefetch_depth = 0  # no host staging to hide; dispatch is async
     if prefetch_depth > 0:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1443,6 +1470,29 @@ def _train_streaming(
     def _staged(tasks):
         """Yield staged (x, t, sf, w) for (kind, sd, idx, ci) tasks, staging
         one task ahead on the prefetch thread when enabled."""
+        if resident is not None:
+            # parts rebuild on device from the resident corpus; row-id
+            # uploads are tiny and dispatch is async, so no pipeline
+            # thread is needed (validation rows offset past the split).
+            # THROTTLE: with no host staging to pace it, Python could
+            # dispatch a whole epoch of multi-GB parts ahead of execution
+            # and overflow HBM — bound in-flight parts by syncing on an
+            # older part's (tiny) sf output: programs retire in dispatch
+            # order, so that proves every earlier gather AND scan is done.
+            ahead = max(int(os.environ.get("DCA_TPU_RESIDENT_AHEAD", "1")), 0)
+            window = []
+            for pi, (kind, sd, idx, _) in enumerate(tasks):
+                t0 = _pc()
+                if ahead and len(window) >= ahead:
+                    np.asarray(window.pop(0))
+                rows = idx if sd is tr else np.asarray(idx) + split_at
+                out = (*resident.part(rows), None)
+                if ahead:
+                    window.append(out[2])
+                if tl is not None:
+                    tl.rec(pi, kind, "wait", t0, _pc())
+                yield out
+            return
         if prefetch_pool is None:
             for pi, (kind, sd, idx, _) in enumerate(tasks):
                 t0 = _pc()

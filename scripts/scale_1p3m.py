@@ -176,7 +176,8 @@ def main():
             ad, net, epochs=epochs, early_stop=early_stop,
             reduce_lr=reduce_lr,
             validation_split=val_split, verbose=converge, seed=0,
-            max_device_cells=131072, batch_size=batch, learning_rate=lr,
+            max_device_cells=int(os.environ.get("MAX_DEVICE_CELLS", 131072)),
+            batch_size=batch, learning_rate=lr,
         )
         total = time.time() - t0
     finally:

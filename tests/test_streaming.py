@@ -111,6 +111,85 @@ def test_prefetch_depth_is_trajectory_invariant(monkeypatch):
     np.testing.assert_allclose(h3["val_loss"], h0["val_loss"], rtol=1e-6)
 
 
+def _lazy_sparse_adata(n=150, g=14, seed=36):
+    X = make_counts(n, g, seed=seed)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    X[0, :] += 1
+    return X, normalize(read_dataset(AnnData(sp.csr_matrix(X))),
+                        lazy_scale=True)
+
+
+def test_resident_part_matches_scipy():
+    """ops/resident.ResidentCSR rebuilds a shuffled part on device exactly:
+    the raw target equals the scipy dense rows and the derived input is
+    (log1p(t*m) - mu) / sd."""
+    from dca_tpu.ops.resident import ResidentCSR
+
+    rs = np.random.RandomState(40)
+    X = make_counts(80, 12, seed=40)
+    X[X < 2] = 0
+    X[:, 0] += 1
+    Xs = sp.csr_matrix(X)
+    m = rs.uniform(0.5, 2.0, 80).astype(np.float32)
+    sf = rs.uniform(0.5, 2.0, 80).astype(np.float32)
+    mu = rs.normal(size=12).astype(np.float32)
+    sd = rs.uniform(0.5, 2.0, 12).astype(np.float32)
+    r = ResidentCSR(Xs, m, sf, mu, sd)
+    rows = rs.permutation(80)[:33]
+    x, t, sfp = r.part(rows)
+    np.testing.assert_array_equal(np.asarray(t), X[rows])
+    np.testing.assert_allclose(
+        np.asarray(x), (np.log1p(X[rows] * m[rows, None]) - mu) / sd,
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sfp), sf[rows])
+
+
+def test_resident_matches_streaming(monkeypatch):
+    """DCA_TPU_RESIDENT is a pure staging knob: the device-resident corpus
+    path must produce the IDENTICAL trajectory to the wire-staged run
+    (same perm, same raw values, same scatter/derive programs)."""
+    X, _ = _lazy_sparse_adata()
+
+    def fit(resident):
+        monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+        monkeypatch.setenv("DCA_TPU_RESIDENT", resident)
+        ad = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy()))),
+                       lazy_scale=True)
+        net = AE_types["nb-conddisp"](input_size=14, hidden_size=(8, 4, 8),
+                                      seed=1)
+        net.build()
+        return train(ad, net, epochs=3, verbose=False, seed=5,
+                     max_device_cells=48).history
+
+    h_off, h_on = fit("0"), fit("1")
+    np.testing.assert_allclose(h_on["loss"], h_off["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_on["val_loss"], h_off["val_loss"],
+                               rtol=1e-6)
+
+
+def test_resident_auto_gates_on_size(monkeypatch, capsys):
+    """auto mode engages only between the MIN/MAX byte bounds: tiny runs
+    stay on the wire path by default, dropping the floor pulls them in."""
+    X, _ = _lazy_sparse_adata()
+
+    def fit(**env):
+        monkeypatch.setenv("DCA_TPU_DEVICE_DENSIFY", "1")
+        monkeypatch.delenv("DCA_TPU_RESIDENT", raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        ad = normalize(read_dataset(AnnData(sp.csr_matrix(X.copy()))),
+                       lazy_scale=True)
+        net = AE_types["nb-conddisp"](input_size=14, hidden_size=(8, 4, 8),
+                                      seed=1)
+        net.build()
+        train(ad, net, epochs=1, verbose=True, seed=5, max_device_cells=48)
+        return capsys.readouterr().out
+
+    assert "corpus resident" not in fit()  # default 64 MB floor
+    assert "corpus resident" in fit(DCA_TPU_RESIDENT_MIN_BYTES="0")
+
+
 def test_streaming_sparse_end_to_end():
     X = make_counts(120, 12, seed=35)
     X[X < 2] = 0
