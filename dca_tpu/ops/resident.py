@@ -10,13 +10,28 @@ ship-one-payload input derive (x = (log1p(t * m_r) - mu) / sd,
 train/loop.py) fused into the same program.  Per epoch only the
 shuffled row ids (~4 bytes/cell) cross the link.
 
-Why this exists (measured, docs/benchmarks.md round 5): the 1.3M x 3451
-epoch is LINK-bound at ~29 s — ~2 GB of payload wire bytes per epoch at
-the tunnel's ~70 MB/s against ~2 s of on-device compute.  That same
-payload is ~1.8 GB in compressed form: resident in HBM (16 GB on v5e)
-it is re-read at HBM bandwidth (~100s of GB/s) instead of re-shipped,
-so steady epochs drop to the compute floor.  A real 300-epoch fit
-amortizes the one-time upload ~300x.
+Why this exists (measured, docs/benchmarks.md round 5): the 1.3M x
+3451 wire-staged epoch is LINK-bound at ~29 s — ~2 GB of payload wire
+bytes per epoch at the tunnel's ~70 MB/s against ~2 s of train compute.
+That same payload is ~2 GB compressed, so residing it in HBM removes
+the wire cost entirely.  Measured steady epochs: **22.4 s (58,008
+cells/s), +-0.1 s across epochs** — 1.3x the wire path's best AND free
+of its weather variance (the wire arm swung 29-137 s across sessions).
+
+The result is gather-form-sensitive in a way worth remembering: the
+first cut read the payload as ``col[starts[rows] + k]`` — 2x182M
+elementwise gathers per part — and measured 3.2x SLOWER than the wire
+path (8.96 s/part, of which 7.45 s was the gather alone;
+scripts/resident_probe.py).  Re-expressing the same read as B length-K
+``dynamic_slice`` gathers (CSR rows are contiguous) dropped the part
+rebuild to 2.14 s.  TPU gathers of small elements at arbitrary offsets
+run element-at-a-time; gathers of contiguous slices run at copy speed.
+
+Remaining floor: ~2 s/part is still the padded rebuild (K=1388 vs ~380
+mean nnz/row).  The documented next step below it is a scatter-free
+sparse NLL — compute the y=0 closed form densely from (mean, theta, pi)
+and add gathered per-nonzero corrections — which removes the dense
+target entirely.
 
 Reference analogue: none — the reference's Keras fit holds the DENSE
 matrix resident in host RAM and re-feeds it per batch
@@ -47,19 +62,30 @@ from .densify import _scatter_impl
 def _part_impl(starts, lens, col, val, m, sf, mu, sd, rows, K, n_cols):
     """One staged part from resident CSR: (x_scaled, t_raw, sf_part).
 
-    ``rows`` (B,) int32 selects this part's (shuffled) cells; the gather
-    builds the padded (B, K) payload in HBM — slot k of row r reads
-    ``col/val[starts[r] + k]`` while k < lens[r], padding slots carry the
-    out-of-range column id ``n_cols`` so the scatter drops them (same
-    contract as native.csr_to_padded payloads; hints deliberately not
-    passed — platform bug, see _scatter_impl)."""
+    ``rows`` (B,) int32 selects this part's (shuffled) cells.  Slot k of
+    payload row r reads ``col/val[starts[r] + k]`` while k < lens[r] —
+    and because each CSR row is CONTIGUOUS in col/val, that read is a
+    gather of B length-K SLICES (``vmap(dynamic_slice)``), not 182M
+    independent element gathers.  The distinction is the whole ballgame
+    on this hardware: the elementwise ``col[offs]`` form measured
+    7.45 s/part on the 1.3M corpus vs ~1.5 s for everything else in the
+    program combined (scripts/resident_probe.py) — slice gathers move
+    the same bytes as contiguous copies instead.  ``col``/``val`` arrive
+    padded by K trailing elements so the last rows' slices stay in
+    bounds without dynamic_slice's start-clamping misaligning them.
+    Padding slots carry the out-of-range column id ``n_cols`` so the
+    scatter drops them (same contract as native.csr_to_padded payloads;
+    hints deliberately not passed — platform bug, see _scatter_impl)."""
     s = starts[rows]
     ln = lens[rows]
     k = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], K), 1)
     mask = k < ln[:, None]
-    offs = jnp.where(mask, s[:, None] + k, 0)
-    idx = jnp.where(mask, col[offs].astype(jnp.int32), n_cols)
-    dat = jnp.where(mask, val[offs].astype(jnp.float32), 0.0)
+    seg_col = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(col, (st,), (K,)))(s)
+    seg_val = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(val, (st,), (K,)))(s)
+    idx = jnp.where(mask, seg_col.astype(jnp.int32), n_cols)
+    dat = jnp.where(mask, seg_val.astype(jnp.float32), 0.0)
     t = _scatter_impl(idx, dat, n_cols)
     x = (jnp.log1p(t * m[rows][:, None]) - mu) / sd
     return x, t, sf[rows]
@@ -71,7 +97,9 @@ class ResidentCSR:
 
     Requires the ship-one-payload configuration (the trainer's verified
     per-row derive multiplier ``m``): only the TARGET values are stored
-    and the normalized input is derived on device.
+    and the normalized input is derived on device.  Auto-engaged by the
+    trainer inside the DCA_TPU_RESIDENT_MIN_BYTES..DCA_TPU_RESIDENT_BYTES
+    HBM budget; DCA_TPU_RESIDENT=1/0 forces.
     """
 
     def __init__(self, T, m, sf, scale_mean, scale_std):
@@ -93,6 +121,10 @@ class ResidentCSR:
             val = d.astype(np.uint16)  # lossless for raw counts
         else:
             val = d.astype(np.float32)
+        # K trailing pad elements keep the tail rows' dynamic_slice
+        # gathers in bounds (see _part_impl); masked, never read as data
+        col = np.concatenate([col, np.zeros(self.K, col.dtype)])
+        val = np.concatenate([val, np.zeros(self.K, val.dtype)])
         # one batched upload (separate puts pay per-call tunnel latency)
         (self.starts_d, self.lens_d, self.col_d, self.val_d, self.m_d,
          self.sf_d, self.mu_d, self.sd_d) = jax.device_put((

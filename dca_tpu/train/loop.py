@@ -1029,14 +1029,18 @@ def _train_streaming(
         va.derive_m = m_va
     n_train = split_at
 
-    # device-RESIDENT corpus (ops/resident.py): when the compressed CSR
-    # payload fits HBM, upload it ONCE and rebuild every shuffled part on
-    # device — zero per-epoch payload transfer (only the ~4 B/cell row ids
-    # cross the link, vs ~4 B/nonzero of payload per epoch on the wire
-    # path).  Auto-engages for corpus-scale single-device runs in the
-    # ship-one-payload configuration (m_tr verified); DCA_TPU_RESIDENT=1/0
-    # forces on/off, DCA_TPU_RESIDENT_BYTES caps the HBM budget and
-    # DCA_TPU_RESIDENT_MIN_BYTES keeps small runs on the simpler path.
+    # device-RESIDENT corpus (ops/resident.py): upload the compressed CSR
+    # payload ONCE and rebuild every shuffled part on device with
+    # slice-form gathers — zero per-epoch payload transfer (only the
+    # ~4 B/cell row ids cross the link, vs ~4 B/nonzero of payload per
+    # epoch on the wire path).  Measured at 1.3M x 3451: 22.4 s steady
+    # epochs (58,008 cells/s), ±0.1 s across epochs, vs the wire path's
+    # link-bound 29 s — and the win only exists with the dynamic_slice
+    # gather form; the first (elementwise-gather) cut measured 3.2x
+    # SLOWER than the wire (docs/benchmarks.md round 5).  Auto-engages
+    # for single-device ship-one-payload runs whose payload fits the
+    # DCA_TPU_RESIDENT_MIN_BYTES..DCA_TPU_RESIDENT_BYTES HBM budget;
+    # DCA_TPU_RESIDENT=1/0 forces on/off.
     resident = None
     if m_tr is not None and mesh is None and sp.isspmatrix_csr(target):
         from ..ops.resident import ResidentCSR

@@ -188,6 +188,7 @@ def test_resident_auto_gates_on_size(monkeypatch, capsys):
 
     assert "corpus resident" not in fit()  # default 64 MB floor
     assert "corpus resident" in fit(DCA_TPU_RESIDENT_MIN_BYTES="0")
+    assert "corpus resident" in fit(DCA_TPU_RESIDENT="1")
 
 
 def test_streaming_sparse_end_to_end():
