@@ -1049,7 +1049,16 @@ def _train_streaming(
         _rlo = int(os.environ.get("DCA_TPU_RESIDENT_MIN_BYTES", 64_000_000))
         _rhi = int(os.environ.get("DCA_TPU_RESIDENT_BYTES", 4_000_000_000))
         _rest = ResidentCSR.payload_bytes(target)
-        if _rmode == "1" or (_rmode != "0" and _rlo <= _rest <= _rhi):
+        # padded-rebuild HBM guard: per-part idx/dat intermediates are
+        # chunk x K(=max nnz/row) x 8 B, so a single heavy row inflates
+        # K and can blow the part past HBM on wide panels even when the
+        # compressed payload itself is small — auto declines those
+        # (force with DCA_TPU_RESIDENT=1 after shrinking max_device_cells)
+        _kmax = int(np.diff(target.indptr).max()) if target.shape[0] else 0
+        _part_b = int(os.environ.get("DCA_TPU_RESIDENT_PART_BYTES",
+                                     6_000_000_000))
+        _auto_ok = _rlo <= _rest <= _rhi and chunk * _kmax * 8 <= _part_b
+        if _rmode == "1" or (_rmode != "0" and _auto_ok):
             m_full = np.concatenate([m_tr, m_va]) if has_val else m_tr
             resident = ResidentCSR(target, m_full,
                                    np.asarray(sf, np.float32),
