@@ -11,8 +11,11 @@ Demonstrates the subsystems the reference lacks, composed the way a real
   * on-device densification (the TPU default) shipping O(nnz) payloads
     instead of dense chunks — flat/padded encoding auto-picked, and under
     the default pipeline only the raw-count target payload crosses the
-    link (the normalized input is derived on device; measured ladder at
-    1.3M×3451 in docs/benchmarks.md: 569.7 → 170.2 s/epoch);
+    link (the normalized input is derived on device); when the compressed
+    corpus fits the HBM budget the trainer goes device-RESIDENT — the CSR
+    uploads once and shuffled parts rebuild on device with slice-form
+    gathers (measured ladder at 1.3M×3451 in docs/benchmarks.md:
+    569.7 → 170.2 → 29.0 → 22.4 s/epoch);
   * crash-safe checkpointing (``checkpoint_every``/``resume``) of the FULL
     train state;
   * the streaming denoise→write leg — the pipeline's actual PRODUCT

@@ -101,4 +101,34 @@ thb = jnp.asarray(rs.uniform(0.1, 5.0, size=(1, G)).astype(np.float32))
 rn = float(jax.jit(lambda m, t: losses.nb_nll(y, m, t))(mu, thb))
 fn_ = float(jax.jit(lambda m, t: nb_nll_fused(y, m, t, 1.0, False))(mu, thb))
 print(f"bcast nb th(1,G): relerr={abs(rn-fn_)/abs(rn):.2e}")
+
+# ---------------------------------------------------------------------------
+# weighted kernels (round 5: sample_weights keeps auto-padded multi-process
+# parts on the fused path) — must compile + agree on real Mosaic
+# ---------------------------------------------------------------------------
+
+from dca_tpu.ops.fused_loss import zinb_nll_fused_w, nb_nll_fused_w
+
+wv = rs.uniform(0.2, 2.0, size=(B,)).astype(np.float32)
+wv[:7] = 0.0  # pad-row semantics: zero-weight rows exactly ignored
+w1 = jnp.asarray(wv)      # losses.* takes (B,)
+wj = w1[:, None]          # fused kernels take the (B, 1) weight column
+print("compiling weighted zinb...", flush=True)
+rw = float(jax.jit(lambda m, t, p: losses.zinb_nll(
+    y, m, t, p, ridge_lambda=0.05, sample_weights=w1))(mu, th, pi))
+fw = float(jax.jit(lambda m, t, p: zinb_nll_fused_w(
+    y, m, t, p, wj, 0.05, False))(mu, th, pi))
+print(f"weighted zinb: relerr={abs(rw-fw)/abs(rw):.2e}")
+rgw = jax.jit(jax.grad(lambda m, t, p: losses.zinb_nll(
+    y, m, t, p, ridge_lambda=0.05, sample_weights=w1), argnums=(0, 1, 2)))(mu, th, pi)
+fgw = jax.jit(jax.grad(lambda m, t, p: zinb_nll_fused_w(
+    y, m, t, p, wj, 0.05, False), argnums=(0, 1, 2)))(mu, th, pi)
+for name, a_, b_ in zip(("dmu", "dth", "dpi"), rgw, fgw):
+    err = float(jnp.max(jnp.abs(a_ - b_)) / (float(jnp.max(jnp.abs(a_))) + 1e-12))
+    print(f"  weighted grad {name}: relerr={err:.2e}")
+rwn = float(jax.jit(lambda m, t: losses.nb_nll(
+    y, m, t, sample_weights=w1))(mu, thb))
+fwn = float(jax.jit(lambda m, t: nb_nll_fused_w(
+    y, m, t, wj, False))(mu, thb))
+print(f"weighted nb th(1,G): relerr={abs(rwn-fwn)/abs(rwn):.2e}")
 print("TPU smoke complete", flush=True)
